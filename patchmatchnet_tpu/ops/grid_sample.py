@@ -1,0 +1,92 @@
+"""Bilinear grid sampling (NHWC), matching torch.nn.functional.grid_sample.
+
+Two conventions are used by the PatchMatch pipeline and both are reproduced
+exactly (reference: models/module.py:175-181 uses align_corners=True +
+padding_mode="zeros" for homography warping; models/patchmatch.py:117-123,
+569-575, 615-617, 659-661 use align_corners=False + padding_mode="border" for
+the learned-offset neighbor sampling):
+
+- ``align_corners=True``:  ix = (x + 1) / 2 * (W - 1)
+- ``align_corners=False``: ix = ((x + 1) * W - 1) / 2
+- ``zeros``:  out-of-bounds taps contribute 0
+- ``border``: coordinates are clamped to the valid range before interpolation
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("align_corners", "padding_mode"))
+def grid_sample_2d(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    *,
+    align_corners: bool,
+    padding_mode: str,
+) -> jnp.ndarray:
+    """Sample `image` bilinearly at normalized grid locations.
+
+    Args:
+        image: [B, H, W, C] features.
+        grid: [B, ..., 2] normalized (x, y) coordinates in [-1, 1].
+        align_corners: torch semantics flag (see module docstring).
+        padding_mode: "zeros" or "border".
+
+    Returns:
+        [B, ..., C] sampled features.
+    """
+    if padding_mode not in ("zeros", "border"):
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+
+    batch, height, width, channels = image.shape
+    out_shape = grid.shape[:-1] + (channels,)
+    grid2 = grid.reshape(batch, -1, 2)
+
+    ix = _unnormalize(grid2[..., 0], width, align_corners)
+    iy = _unnormalize(grid2[..., 1], height, align_corners)
+
+    if padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, width - 1)
+        iy = jnp.clip(iy, 0.0, height - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = (ix - x0)[..., None]
+    wy = (iy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    flat = image.reshape(batch, height * width, channels)
+
+    def tap(yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+        # Clipped gather; out-of-bounds handled by the weight mask below.
+        yc = jnp.clip(yi, 0, height - 1)
+        xc = jnp.clip(xi, 0, width - 1)
+        idx = yc * width + xc  # [B, P]
+        vals = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, P, C]
+        if padding_mode == "zeros":
+            valid = (
+                (xi >= 0) & (xi <= width - 1) & (yi >= 0) & (yi <= height - 1)
+            )
+            vals = vals * valid[..., None].astype(vals.dtype)
+        return vals
+
+    out = (
+        tap(y0i, x0i) * (1 - wx) * (1 - wy)
+        + tap(y0i, x1i) * wx * (1 - wy)
+        + tap(y1i, x0i) * (1 - wx) * wy
+        + tap(y1i, x1i) * wx * wy
+    )
+    return out.reshape(out_shape)

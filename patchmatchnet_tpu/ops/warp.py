@@ -1,0 +1,88 @@
+"""Differentiable homography warping — the hot inner op of PatchMatch evaluation.
+
+Semantics match the reference warp (reference: models/module.py:130-181):
+backproject the reference pixel grid at D depth hypotheses, project into the
+source view, guard against non-positive depths by pushing samples off-image,
+then bilinearly sample source features with align_corners=True / zeros
+padding. The sampling grid carries no gradient (the reference computes it
+under torch.no_grad()); gradients flow only through the sampled features.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
+
+
+def warp_grid(
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+    src_height: int,
+    src_width: int,
+) -> jnp.ndarray:
+    """Compute normalized sampling positions in the source image.
+
+    Args:
+        src_proj: [B, 4, 4] source projection (K @ E embedded in 4x4).
+        ref_proj: [B, 4, 4] reference projection.
+        depth_samples: [B, D, H, W] depth hypotheses on the reference grid.
+        src_height, src_width: source feature map size (for normalization and
+            the off-image push of invalid samples).
+
+    Returns:
+        grid: [B, D, H, W, 2] normalized (x, y) in align_corners=True convention.
+    """
+    batch, num_depth, height, width = depth_samples.shape
+
+    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    rot = proj[:, :3, :3]  # [B,3,3]
+    trans = proj[:, :3, 3]  # [B,3]
+
+    y, x = jnp.meshgrid(
+        jnp.arange(height, dtype=depth_samples.dtype),
+        jnp.arange(width, dtype=depth_samples.dtype),
+        indexing="ij",
+    )
+    xyz = jnp.stack([x.ravel(), y.ravel(), jnp.ones(height * width, depth_samples.dtype)])
+
+    rot_xyz = rot @ xyz  # [B, 3, H*W]
+    # [B, 3, D, H*W] = ray direction * depth + translation
+    proj_xyz = rot_xyz[:, :, None, :] * depth_samples.reshape(
+        batch, 1, num_depth, height * width
+    ) + trans[:, :, None, None]
+
+    # Guard: samples behind the source camera are pushed off-image so the
+    # zeros-padded bilinear tap returns 0.
+    negative = proj_xyz[:, 2:3] <= 1e-3
+    px = jnp.where(negative[:, 0], jnp.asarray(float(src_width), proj_xyz.dtype), proj_xyz[:, 0])
+    py = jnp.where(negative[:, 0], jnp.asarray(float(src_height), proj_xyz.dtype), proj_xyz[:, 1])
+    pz = jnp.where(negative[:, 0], jnp.asarray(1.0, proj_xyz.dtype), proj_xyz[:, 2])
+
+    gx = px / pz / ((src_width - 1) / 2.0) - 1.0
+    gy = py / pz / ((src_height - 1) / 2.0) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)  # [B, D, H*W, 2]
+    return jax.lax.stop_gradient(grid.reshape(batch, num_depth, height, width, 2))
+
+
+def differentiable_warp(
+    src_fea: jnp.ndarray,
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+) -> jnp.ndarray:
+    """Warp source features onto the reference view at each depth hypothesis.
+
+    Args:
+        src_fea: [B, H, W, C] source features (NHWC).
+        src_proj / ref_proj: [B, 4, 4] projection matrices.
+        depth_samples: [B, D, H, W] depth hypotheses.
+
+    Returns:
+        [B, D, H, W, C] warped source features.
+    """
+    src_h, src_w = src_fea.shape[1], src_fea.shape[2]
+    grid = warp_grid(src_proj, ref_proj, depth_samples, src_h, src_w)
+    return grid_sample_2d(src_fea, grid, align_corners=True, padding_mode="zeros")
