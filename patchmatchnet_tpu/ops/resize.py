@@ -34,12 +34,13 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
+    hi = jax.lax.Precision.HIGHEST
     mat_h = _interp_matrix(h, out_h, x.dtype)  # [out_h, h]
     mat_w = _interp_matrix(w, out_w, x.dtype)  # [out_w, w]
     # [B,H,W,C] -> [B,out_h,W,C]
-    x = jnp.einsum("oh,bhwc->bowc", mat_h, x)
+    x = jnp.einsum("oh,bhwc->bowc", mat_h, x, precision=hi)
     # -> [B,out_h,out_w,C]
-    return jnp.einsum("pw,bhwc->bhpc", mat_w, x)
+    return jnp.einsum("pw,bhwc->bhpc", mat_w, x, precision=hi)
 
 
 def _interp_matrix(in_size: int, out_size: int, dtype) -> jnp.ndarray:

@@ -37,7 +37,10 @@ def warp_grid(
     """
     batch, num_depth, height, width = depth_samples.shape
 
-    proj = src_proj @ jnp.linalg.inv(ref_proj)
+    # Camera math must stay in full f32 even on TPU (default matmul precision
+    # is bf16-ish there and costs ~0.1 px of sampling accuracy).
+    hi = jax.lax.Precision.HIGHEST
+    proj = jnp.matmul(src_proj, jnp.linalg.inv(ref_proj), precision=hi)
     rot = proj[:, :3, :3]  # [B,3,3]
     trans = proj[:, :3, 3]  # [B,3]
 
@@ -48,7 +51,7 @@ def warp_grid(
     )
     xyz = jnp.stack([x.ravel(), y.ravel(), jnp.ones(height * width, depth_samples.dtype)])
 
-    rot_xyz = rot @ xyz  # [B, 3, H*W]
+    rot_xyz = jnp.matmul(rot, xyz, precision=hi)  # [B, 3, H*W]
     # [B, 3, D, H*W] = ray direction * depth + translation
     proj_xyz = rot_xyz[:, :, None, :] * depth_samples.reshape(
         batch, 1, num_depth, height * width
