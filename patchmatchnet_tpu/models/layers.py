@@ -1,0 +1,183 @@
+"""Layer primitives (NHWC, flax.linen) with torch-compatible semantics.
+
+Conv/BN blocks mirror the reference primitives (reference:
+models/module.py:11-127). BatchNorm uses eps=1e-5 and EMA decay 0.9 (torch
+momentum 0.1). Initializers reproduce torch's kaiming_uniform(a=sqrt(5))
+defaults so training-from-scratch dynamics are comparable.
+
+The reference's 1x1x1 Conv3d stacks (SimilarityNet / PixelwiseNet /
+FeatureWeightNet) are per-position channel maps, so here they are Dense
+layers over a channels-last tensor — a pure MXU matmul on TPU instead of a
+degenerate 3-D convolution.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """kaiming_uniform(a=sqrt(5)) on an HWIO (or [I, O] dense) kernel:
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with fan_in = prod(shape[:-1])."""
+    fan_in = 1
+    for s in shape[:-1]:
+        fan_in *= s
+    bound = 1.0 / jnp.sqrt(jnp.asarray(float(fan_in)))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / float(fan_in) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """2D convolution with torch padding/dilation semantics (NHWC)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size * self.kernel_size
+        if self.zero_init:
+            kernel_init = nn.initializers.zeros
+            bias_init = nn.initializers.zeros
+        else:
+            kernel_init = torch_kernel_init
+            bias_init = torch_bias_init(fan_in)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=bias_init,
+            name="conv2d",
+        )(x)
+
+
+class ConvBnReLU(nn.Module):
+    """Conv2d (no bias) + BatchNorm + ReLU (reference: module.py:11-40)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            kernel_init=torch_kernel_init,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class DenseBnReLU(nn.Module):
+    """Per-position channel map + BatchNorm + ReLU.
+
+    TPU-native equivalent of the reference's ConvBnReLU3D with 1x1x1 kernels
+    (reference: module.py:43-72 as used in patchmatch.py:547-548, 597-598,
+    690-691): a Dense over the trailing channel axis of any [..., C] tensor.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(
+            features=self.features,
+            use_bias=False,
+            kernel_init=torch_kernel_init,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class Dense1(nn.Module):
+    """Dense with bias — equivalent of a 1x1x1 Conv3d with bias."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            use_bias=True,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(in_ch),
+            name="dense",
+        )(x)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d(k=3, s=2, p=1, op=1).
+
+    Implemented directly via lax.conv_general_dilated with input dilation;
+    the kernel is stored in forward-conv HWIO layout (spatially flipped
+    relative to torch's [I, O, kH, kW] deconv weight — see compat converter).
+    Output is exactly 2x the spatial size. No bias (reference: net.py:86-88).
+    """
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+
+        def init(key, shape, dtype=jnp.float32):
+            # torch fan_in for ConvTranspose2d = out_channels * k * k
+            bound = 1.0 / float(self.features * k * k) ** 0.5
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", init, (k, k, in_ch, self.features))
+        # pad = k - 1 - p = 1 on the low side, + output_padding = 2 high side
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((1, 2), (1, 2)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+def batch_norm_2d(x: jnp.ndarray, train: bool, name: str = "bn"):
+    """Standalone BatchNorm factory used by Refinement (reference net.py:90)."""
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )(x)

@@ -1,0 +1,493 @@
+"""Learned PatchMatch stage: initialization, adaptive propagation, adaptive
+evaluation with group-wise correlation and pixel-wise view weighting.
+
+Behavior parity with the reference PatchMatch module (reference:
+models/patchmatch.py). Layouts are TPU-native NHWC / hypothesis-last:
+
+- features:           [B, H, W, C]
+- depth hypotheses:   [B, D, H, W]  (matches the warp op)
+- similarity volume:  [B, D, H, W, G]
+- sampling grids:     [B, K, H, W, 2] normalized (x, y)
+- view weights:       [B, H, W, V]
+- scores:             [B, H, W, D]
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from patchmatchnet_tpu.models.layers import (
+    Conv2d,
+    Dense1,
+    DenseBnReLU,
+)
+from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
+from patchmatchnet_tpu.ops.warp import differentiable_warp
+
+INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
+
+
+def init_random_depth(
+    noise: jnp.ndarray, depth_min: jnp.ndarray, depth_max: jnp.ndarray
+) -> jnp.ndarray:
+    """Stage-3 first-iteration initialization: stratified random samples in the
+    inverse depth range (reference: patchmatch.py:56-71).
+
+    Args:
+        noise: [B, D, H, W] uniform [0, 1) samples.
+        depth_min / depth_max: [B] virtual depth range.
+    Returns:
+        [B, D, H, W] depth samples.
+    """
+    batch, num_depth = noise.shape[0], noise.shape[1]
+    inv_min = (1.0 / depth_min).reshape(batch, 1, 1, 1)
+    inv_max = (1.0 / depth_max).reshape(batch, 1, 1, 1)
+    strata = noise + jnp.arange(num_depth, dtype=noise.dtype).reshape(1, num_depth, 1, 1)
+    inv_sample = inv_max + strata / num_depth * (inv_min - inv_max)
+    return 1.0 / inv_sample
+
+
+def init_perturbed_depth(
+    depth: jnp.ndarray,
+    depth_min: jnp.ndarray,
+    depth_max: jnp.ndarray,
+    num_samples: int,
+    interval_scale: float,
+) -> jnp.ndarray:
+    """Local perturbation around the previous depth map, uniform in inverse
+    depth, clamped to the scene range (reference: patchmatch.py:75-94).
+
+    Args:
+        depth: [B, H, W] previous depth estimate.
+        num_samples: number of hypotheses (D).
+    Returns:
+        [B, D, H, W] depth samples.
+    """
+    batch = depth.shape[0]
+    inv_min = (1.0 / depth_min).reshape(batch, 1, 1, 1)
+    inv_max = (1.0 / depth_max).reshape(batch, 1, 1, 1)
+    offsets = jnp.arange(-(num_samples // 2), num_samples // 2, dtype=depth.dtype)
+    inv_interval = (inv_min - inv_max) * interval_scale
+    inv_sample = (
+        1.0 / jax.lax.stop_gradient(depth)[:, None, :, :]
+        + inv_interval * offsets.reshape(1, num_samples, 1, 1)
+    )
+    inv_sample = jnp.clip(inv_sample, inv_max, inv_min)
+    return 1.0 / inv_sample
+
+
+def propagate(depth_sample: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive propagation: sample the middle hypothesis at learned neighbor
+    positions, concatenate, and sort (reference: patchmatch.py:104-124).
+
+    Args:
+        depth_sample: [B, D, H, W]
+        grid: [B, Kp, H, W, 2]
+    Returns:
+        [B, D + Kp, H, W] sorted depth samples.
+    """
+    num_depth = depth_sample.shape[1]
+    middle = depth_sample[:, num_depth // 2, :, :, None]  # [B, H, W, 1]
+    prop = grid_sample_2d(middle, grid, align_corners=False, padding_mode="border")
+    prop = prop[..., 0]  # [B, Kp, H, W]
+    return jnp.sort(jnp.concatenate([depth_sample, prop], axis=1), axis=1)
+
+
+def depth_weight(
+    depth_sample: jnp.ndarray,
+    depth_min: jnp.ndarray,
+    depth_max: jnp.ndarray,
+    grid: jnp.ndarray,
+    interval_scale: float,
+) -> jnp.ndarray:
+    """Non-learned aggregation weight from inverse-depth difference of eval
+    neighbors vs the center pixel (reference: patchmatch.py:627-669).
+
+    Args:
+        depth_sample: [B, D, H, W]
+        grid: [B, Ke, H, W, 2]
+    Returns:
+        [B, Ke, H, W, D] weights in (0, 1), gradient-stopped.
+    """
+    batch = depth_sample.shape[0]
+    inv_min = (1.0 / depth_min).reshape(batch, 1, 1, 1)
+    inv_max = (1.0 / depth_max).reshape(batch, 1, 1, 1)
+    x = (1.0 / depth_sample - inv_max) / (inv_min - inv_max)  # [B, D, H, W]
+    x_img = jnp.transpose(x, (0, 2, 3, 1))  # [B, H, W, D]
+    x1 = grid_sample_2d(x_img, grid, align_corners=False, padding_mode="border")
+    # [B, Ke, H, W, D] difference to center
+    x1 = jnp.abs(x1 - x_img[:, None]) / interval_scale
+    out = jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(x1, 0.0, 4.0))
+    return jax.lax.stop_gradient(out)
+
+
+class PixelwiseNet(nn.Module):
+    """Per-source-view visibility weight (reference: patchmatch.py:672-702)."""
+
+    def setup(self):
+        self.conv0 = DenseBnReLU(16)
+        self.conv1 = DenseBnReLU(8)
+        self.conv2 = Dense1(1)
+
+    def __call__(self, similarity: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """similarity: [B, D, H, W, G] -> weight [B, H, W, 1]."""
+        x = self.conv2(self.conv1(self.conv0(similarity, train), train))
+        x = jax.nn.sigmoid(x[..., 0])  # [B, D, H, W]
+        return jnp.max(x, axis=1)[..., None]  # [B, H, W, 1]
+
+
+class SimilarityNet(nn.Module):
+    """Spatial cost aggregation over eval neighbors (reference:
+    patchmatch.py:532-577)."""
+
+    def setup(self):
+        self.conv0 = DenseBnReLU(16)
+        self.conv1 = DenseBnReLU(8)
+        self.similarity = Dense1(1)
+
+    def __call__(
+        self,
+        x1: jnp.ndarray,
+        grid: jnp.ndarray,
+        weight: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """x1: [B, D, H, W, G]; grid: [B, Ke, H, W, 2];
+        weight: [B, Ke, H, W, D] -> score [B, H, W, D]."""
+        cost = self.similarity(self.conv1(self.conv0(x1, train), train))[..., 0]
+        cost_img = jnp.transpose(cost, (0, 2, 3, 1))  # [B, H, W, D]
+        sampled = grid_sample_2d(
+            cost_img, grid, align_corners=False, padding_mode="border"
+        )  # [B, Ke, H, W, D]
+        return jnp.sum(sampled * weight, axis=1)
+
+
+class FeatureWeightNet(nn.Module):
+    """Adaptive-aggregation feature weights from group-wise correlation of the
+    reference feature with its sampled neighbors (reference:
+    patchmatch.py:580-624)."""
+
+    groups: int
+
+    def setup(self):
+        self.conv0 = DenseBnReLU(16)
+        self.conv1 = DenseBnReLU(8)
+        self.similarity = Dense1(1)
+
+    def __call__(
+        self, ref_feature: jnp.ndarray, grid: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """ref_feature: [B, H, W, C]; grid: [B, Ke, H, W, 2] -> [B, Ke, H, W]."""
+        b, h, w, c = ref_feature.shape
+        g = self.groups
+        neighbors = grid_sample_2d(
+            ref_feature, grid, align_corners=False, padding_mode="border"
+        )  # [B, Ke, H, W, C]
+        ke = neighbors.shape[1]
+        neighbors = neighbors.reshape(b, ke, h, w, g, c // g)
+        ref = ref_feature.reshape(b, 1, h, w, g, c // g)
+        corr = jnp.mean(neighbors * ref, axis=-1)  # [B, Ke, H, W, G]
+        out = self.similarity(self.conv1(self.conv0(corr, train), train))
+        return jax.nn.sigmoid(out[..., 0])  # [B, Ke, H, W]
+
+
+class Evaluation(nn.Module):
+    """Warp each source view at every hypothesis, group-wise correlate,
+    weight by per-view visibility, aggregate spatially, and regress depth
+    (reference: patchmatch.py:127-239)."""
+
+    groups: int
+
+    def setup(self):
+        self.pixel_wise_net = PixelwiseNet()
+        self.similarity_net = SimilarityNet()
+
+    def __call__(
+        self,
+        ref_feature: jnp.ndarray,
+        src_features: Sequence[jnp.ndarray],
+        ref_proj: jnp.ndarray,
+        src_projs: Sequence[jnp.ndarray],
+        depth_sample: jnp.ndarray,
+        grid: jnp.ndarray,
+        weight: jnp.ndarray,
+        view_weights: Optional[jnp.ndarray],
+        is_inverse: bool,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (depth [B, H, W], score [B, H, W, D], view_weights [B, H, W, V])."""
+        b, h, w, c = ref_feature.shape
+        g = self.groups
+        num_depth = depth_sample.shape[1]
+
+        ref_grouped = ref_feature.reshape(b, 1, h, w, g, c // g)
+        weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=ref_feature.dtype)
+        similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=ref_feature.dtype)
+
+        new_view_weights: List[jnp.ndarray] = []
+        for i, (src_fea, src_proj) in enumerate(zip(src_features, src_projs)):
+            warped = differentiable_warp(src_fea, src_proj, ref_proj, depth_sample)
+            warped = warped.reshape(b, num_depth, h, w, g, c // g)
+            similarity = jnp.mean(warped * ref_grouped, axis=-1)  # [B, D, H, W, G]
+
+            if view_weights is None:
+                view_weight = self.pixel_wise_net(similarity, train)  # [B, H, W, 1]
+                new_view_weights.append(view_weight)
+            else:
+                view_weight = view_weights[..., i : i + 1]  # [B, H, W, 1]
+
+            vw = view_weight[:, None]  # [B, 1, H, W, 1]
+            similarity_sum = similarity_sum + similarity * vw
+            weight_sum = weight_sum + vw
+
+        similarity = similarity_sum / weight_sum  # [B, D, H, W, G]
+        score = self.similarity_net(similarity, grid, weight, train)  # [B, H, W, D]
+        score = jax.nn.softmax(score, axis=-1)
+
+        if view_weights is None:
+            view_weights = jnp.concatenate(new_view_weights, axis=-1)  # [B, H, W, V]
+
+        if is_inverse:
+            # Inverse-depth index regression (final stage-1 iteration;
+            # reference: patchmatch.py:226-234).
+            index = jnp.arange(num_depth, dtype=score.dtype)
+            depth_index = jnp.sum(index * score, axis=-1)  # [B, H, W]
+            inv_min = 1.0 / depth_sample[:, -1]  # [B, H, W]
+            inv_max = 1.0 / depth_sample[:, 0]
+            depth = 1.0 / (
+                inv_max + depth_index / (num_depth - 1) * (inv_min - inv_max)
+            )
+        else:
+            # Soft-argmin expectation (reference: patchmatch.py:236-237).
+            sample_img = jnp.transpose(depth_sample, (0, 2, 3, 1))  # [B, H, W, D]
+            depth = jnp.sum(sample_img * score, axis=-1)
+
+        return depth, score, jax.lax.stop_gradient(view_weights)
+
+
+def _fixed_offsets(grid_type: str, neighbors: int, dilation: int) -> List[Tuple[int, int]]:
+    """Static (y, x) offset patterns for propagation/evaluation grids
+    (reference: patchmatch.py:331-394)."""
+    if grid_type == "propagation":
+        if neighbors == 4:
+            return [(-dilation, 0), (0, -dilation), (0, dilation), (dilation, 0)]
+        if neighbors in (8, 16):
+            base = [
+                (-dilation, -dilation),
+                (-dilation, 0),
+                (-dilation, dilation),
+                (0, -dilation),
+                (0, dilation),
+                (dilation, -dilation),
+                (dilation, 0),
+                (dilation, dilation),
+            ]
+            if neighbors == 16:
+                base = base + [(2 * y, 2 * x) for (y, x) in base]
+            return base
+        raise NotImplementedError(f"propagate_neighbors={neighbors}")
+    if grid_type == "evaluation":
+        dilation = dilation - 1  # evaluation uses slightly smaller dilation
+        if neighbors in (9, 17):
+            base = [
+                (-dilation, -dilation),
+                (-dilation, 0),
+                (-dilation, dilation),
+                (0, -dilation),
+                (0, 0),
+                (0, dilation),
+                (dilation, -dilation),
+                (dilation, 0),
+                (dilation, dilation),
+            ]
+            if neighbors == 17:
+                base = base + [
+                    (2 * y, 2 * x) for (y, x) in base if (y, x) != (0, 0)
+                ]
+            return base
+        raise NotImplementedError(f"evaluate_neighbors={neighbors}")
+    raise NotImplementedError(grid_type)
+
+
+def build_offset_grid(
+    offset: jnp.ndarray,
+    fixed: Sequence[Tuple[int, int]],
+    height: int,
+    width: int,
+) -> jnp.ndarray:
+    """Combine fixed neighbor offsets with learned per-pixel offsets into a
+    normalized sampling grid (reference: patchmatch.py:396-426).
+
+    Args:
+        offset: [B, H, W, 2K] learned offsets, channel 2k = x, 2k+1 = y for
+            neighbor k (same channel convention as the reference conv output).
+        fixed: K static (y, x) offsets.
+    Returns:
+        [B, K, H, W, 2] normalized grid. Note the reference normalizes with
+        the align_corners=True convention but samples with
+        align_corners=False — reproduced as-is.
+    """
+    batch = offset.shape[0]
+    k = len(fixed)
+    y, x = jnp.meshgrid(
+        jnp.arange(height, dtype=offset.dtype),
+        jnp.arange(width, dtype=offset.dtype),
+        indexing="ij",
+    )
+    off = offset.reshape(batch, height, width, k, 2)
+    fixed_arr = jnp.asarray([(fx, fy) for (fy, fx) in fixed], dtype=offset.dtype)
+    # [B, H, W, K, 2] absolute sample positions (x, y)
+    xy = jnp.stack([x, y], axis=-1)[None, :, :, None, :] + fixed_arr + off
+    gx = xy[..., 0] / ((width - 1) / 2.0) - 1.0
+    gy = xy[..., 1] / ((height - 1) / 2.0) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)  # [B, H, W, K, 2]
+    return jnp.transpose(grid, (0, 3, 1, 2, 4))  # [B, K, H, W, 2]
+
+
+class PatchMatch(nn.Module):
+    """One cascade stage of iterative learned PatchMatch (reference:
+    patchmatch.py:242-529)."""
+
+    propagation_out_range: int = 2
+    patchmatch_iteration: int = 2
+    patchmatch_num_sample: int = 16
+    patchmatch_interval_scale: float = 0.025
+    num_feature: int = 64
+    groups: int = 8
+    propagate_neighbors: int = 16
+    evaluate_neighbors: int = 9
+    stage: int = 3
+
+    def setup(self):
+        d = self.propagation_out_range
+        self.propa_conv = Conv2d(
+            features=max(2 * self.propagate_neighbors, 1),
+            kernel_size=3,
+            stride=1,
+            pad=d,
+            dilation=d,
+            use_bias=True,
+            zero_init=True,
+        )
+        self.eval_conv = Conv2d(
+            features=2 * self.evaluate_neighbors,
+            kernel_size=3,
+            stride=1,
+            pad=d,
+            dilation=d,
+            use_bias=True,
+            zero_init=True,
+        )
+        self.feature_weight_net = FeatureWeightNet(groups=self.groups)
+        self.evaluation = Evaluation(groups=self.groups)
+
+    def __call__(
+        self,
+        ref_feature: jnp.ndarray,
+        src_features: Sequence[jnp.ndarray],
+        ref_proj: jnp.ndarray,
+        src_projs: Sequence[jnp.ndarray],
+        depth_min: jnp.ndarray,
+        depth_max: jnp.ndarray,
+        depth: Optional[jnp.ndarray],
+        view_weights: Optional[jnp.ndarray],
+        init_noise: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+        """Run `patchmatch_iteration` rounds of init/propagate/weight/evaluate.
+
+        Args:
+            ref_feature: [B, H, W, C]; src_features: V x [B, H, W, C].
+            depth: [B, H, W] previous-stage depth or None (stage 3 start).
+            view_weights: [B, H, W, V] or None (computed on first evaluation).
+            init_noise: optional [B, 48, H, W] uniform noise for deterministic
+                stage-3 initialization; drawn from the 'sample' RNG if None.
+        Returns:
+            (per-iteration depths [B, H, W], final score [B, H, W, D],
+             view_weights [B, H, W, V])
+        """
+        b, h, w, _ = ref_feature.shape
+
+        has_propagation = self.propagate_neighbors > 0 and not (
+            self.stage == 1 and self.patchmatch_iteration == 1
+        )
+        propa_grid = None
+        if has_propagation:
+            propa_offset = self.propa_conv(ref_feature)
+            propa_grid = build_offset_grid(
+                propa_offset,
+                _fixed_offsets("propagation", self.propagate_neighbors, self.propagation_out_range),
+                h,
+                w,
+            )
+
+        eval_offset = self.eval_conv(ref_feature)
+        eval_grid = build_offset_grid(
+            eval_offset,
+            _fixed_offsets("evaluation", self.evaluate_neighbors, self.propagation_out_range),
+            h,
+            w,
+        )
+
+        feature_weight = self.feature_weight_net(
+            jax.lax.stop_gradient(ref_feature), eval_grid, train
+        )  # [B, Ke, H, W]
+
+        score = None
+        depths: List[jnp.ndarray] = []
+        for it in range(1, self.patchmatch_iteration + 1):
+            is_inverse = self.stage == 1 and it == self.patchmatch_iteration
+
+            if depth is None:
+                if init_noise is None:
+                    init_noise = jax.random.uniform(
+                        self.make_rng("sample"),
+                        (b, INITIAL_NUM_SAMPLES, h, w),
+                        ref_feature.dtype,
+                    )
+                depth_sample = init_random_depth(init_noise, depth_min, depth_max)
+            elif self.patchmatch_num_sample == 1:
+                depth_sample = jax.lax.stop_gradient(depth)[:, None]
+            else:
+                depth_sample = init_perturbed_depth(
+                    depth,
+                    depth_min,
+                    depth_max,
+                    self.patchmatch_num_sample,
+                    self.patchmatch_interval_scale,
+                )
+
+            if self.propagate_neighbors > 0 and not (
+                self.stage == 1 and it == self.patchmatch_iteration
+            ):
+                depth_sample = propagate(depth_sample, propa_grid)
+
+            dw = depth_weight(
+                jax.lax.stop_gradient(depth_sample),
+                depth_min,
+                depth_max,
+                jax.lax.stop_gradient(eval_grid),
+                self.patchmatch_interval_scale,
+            )  # [B, Ke, H, W, D]
+            weight = dw * feature_weight[..., None]
+            weight = weight / jnp.sum(weight, axis=1, keepdims=True)
+
+            depth, score, view_weights = self.evaluation(
+                ref_feature,
+                src_features,
+                ref_proj,
+                src_projs,
+                depth_sample,
+                eval_grid,
+                weight,
+                view_weights,
+                is_inverse,
+                train,
+            )
+            depths.append(depth)
+
+        return depths, score, view_weights
