@@ -1,0 +1,157 @@
+"""Training-step tests, including data-parallel execution on the fake 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchmatchnet_tpu.models import PatchmatchNet
+from patchmatchnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+from patchmatchnet_tpu.train import (
+    TrainState,
+    create_train_state,
+    load_train_checkpoint,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_lr,
+    save_train_checkpoint,
+)
+
+
+def tiny_batch(batch_size=2, num_views=3, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.random((batch_size, num_views, h, w, 3)).astype(np.float32)
+    k = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    intr = np.broadcast_to(k, (batch_size, num_views, 3, 3)).copy()
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (batch_size, num_views, 4, 4)).copy()
+    for v in range(num_views):
+        extr[:, v, 0, 3] = 0.4 * (v - 1)
+    depth_gt = (rng.random((batch_size, h, w)) * 6 + 3).astype(np.float32)
+    mask = np.ones((batch_size, h, w), dtype=bool)
+    return {
+        "images": images,
+        "intrinsics": intr,
+        "extrinsics": extr,
+        "depth_min": np.full(batch_size, 2.0, np.float32),
+        "depth_max": np.full(batch_size, 10.0, np.float32),
+        "depth_gt": depth_gt,
+        "mask": mask,
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PatchmatchNet()
+    batch = tiny_batch(batch_size=1, num_views=2, h=16, w=16)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["images"]),
+        jnp.asarray(batch["intrinsics"]),
+        jnp.asarray(batch["extrinsics"]),
+        jnp.asarray(batch["depth_min"]),
+        jnp.asarray(batch["depth_max"]),
+        train=True,
+    )
+    tx = make_optimizer(1e-3)
+
+    def fresh_state():
+        # train steps donate their input state, so every test gets its own
+        return create_train_state(model, jax.tree.map(jnp.copy, variables), tx)
+
+    return model, tx, fresh_state, batch
+
+
+def test_train_step_decreases_loss(setup):
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    step = make_train_step(model, tx)
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 3
+    # metrics exist and are finite
+    for key in ("depth-error-stage-0", "threshold-2mm-error"):
+        assert np.isfinite(float(metrics[key]))
+
+
+def test_eval_step(setup):
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    estep = make_eval_step(model)
+    metrics = estep(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_batch_stats_update(setup):
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    step = make_train_step(model, tx)
+    before = jax.tree.leaves(state.batch_stats)[0].copy()
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    after = jax.tree.leaves(new_state.batch_stats)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_multistep_lr():
+    sched = multistep_lr(1e-3, "10,12,14:2", steps_per_epoch=100)
+    assert np.isclose(sched(0), 1e-3)
+    assert np.isclose(sched(999), 1e-3)
+    assert np.isclose(sched(1000), 5e-4)
+    assert np.isclose(sched(1200), 2.5e-4)
+    assert np.isclose(sched(1400), 1.25e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    path = str(tmp_path / "params_000003.ckpt.msgpack")
+    save_train_checkpoint(path, state, epoch=3)
+    restored, epoch = load_train_checkpoint(path, state)
+    assert epoch == 3
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_mesh_step(setup):
+    """One sharded train step over the virtual 8-device mesh must match the
+    single-device result (same global batch, replicated params)."""
+    model, tx, fresh_state, _ = setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 fake CPU devices"
+
+    mesh = make_mesh(8)
+    batch = tiny_batch(batch_size=8, num_views=2, h=16, w=16)
+    rng = jax.random.PRNGKey(7)
+
+    step = make_train_step(model, tx)
+
+    # Single-device result
+    state_a, metrics_a = step(fresh_state(), jax.tree.map(jnp.asarray, batch), rng)
+
+    # Sharded result
+    sharded_batch = shard_batch(batch, mesh)
+    rep = replicated_sharding(mesh)
+    state_sharded = jax.device_put(fresh_state(), rep)
+    state_b, metrics_b = step(state_sharded, sharded_batch, jax.device_put(rng, rep))
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
+    )
+    # Compare parameters after the Adam update. Near-zero gradients (the
+    # zero-initialized offset convs) can flip sign under different reduction
+    # orders and take a full +/-lr Adam step, so allow a tiny fraction of
+    # elements to deviate by up to the learning rate.
+    pa = jax.tree.leaves(state_a.params)
+    pb = jax.tree.leaves(state_b.params)
+    total = mismatched = 0
+    for a, b in zip(pa, pb):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() < 3e-3, "param divergence beyond one Adam step"
+        mismatched += int((diff > 1e-5).sum())
+        total += diff.size
+    assert mismatched / total < 1e-3, f"{mismatched}/{total} params diverged"
