@@ -68,7 +68,10 @@ def scale_to_max_dim(image: np.ndarray, max_dim: int) -> Tuple[np.ndarray, int, 
     if 0 < scale < 1:
         width = int(scale * original_width)
         height = int(scale * original_height)
+        had_channels = image.ndim == 3
         image = _resize(image, height, width)
+        if had_channels and image.ndim == 2:  # cv2 squeezes (H, W, 1)
+            image = image[:, :, None]
     return image, original_height, original_width
 
 
