@@ -26,7 +26,8 @@ from patchmatchnet_tpu.models.layers import (
     DenseBnReLU,
 )
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
-from patchmatchnet_tpu.ops.warp import differentiable_warp
+from patchmatchnet_tpu.ops.quad_sample import make_quad_image
+from patchmatchnet_tpu.ops.warp import warp_quad
 
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
 
@@ -229,8 +230,8 @@ class Evaluation(nn.Module):
         similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=ref_feature.dtype)
 
         new_view_weights: List[jnp.ndarray] = []
-        for i, (src_fea, src_proj) in enumerate(zip(src_features, src_projs)):
-            warped = differentiable_warp(src_fea, src_proj, ref_proj, depth_sample)
+        for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
+            warped = warp_quad(src_quad, src_proj, ref_proj, depth_sample)
             warped = warped.reshape(b, num_depth, h, w, g, c // g)
             similarity = jnp.mean(warped * ref_grouped, axis=-1)  # [B, D, H, W, G]
 
@@ -437,6 +438,10 @@ class PatchMatch(nn.Module):
             jax.lax.stop_gradient(ref_feature), eval_grid, train
         )  # [B, Ke, H, W]
 
+        # Quad images: built once per source view, reused by every warp tap
+        # across all iterations (see ops/quad_sample.py).
+        src_quads = [make_quad_image(f, "zeros") for f in src_features]
+
         score = None
         depths: List[jnp.ndarray] = []
         for it in range(1, self.patchmatch_iteration + 1):
@@ -478,7 +483,7 @@ class PatchMatch(nn.Module):
 
             depth, score, view_weights = self.evaluation(
                 ref_feature,
-                src_features,
+                src_quads,
                 ref_proj,
                 src_projs,
                 depth_sample,

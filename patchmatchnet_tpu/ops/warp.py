@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
+from patchmatchnet_tpu.ops.quad_sample import QuadImage, quad_sample
 
 
 def warp_grid(
@@ -89,3 +90,24 @@ def differentiable_warp(
     src_h, src_w = src_fea.shape[1], src_fea.shape[2]
     grid = warp_grid(src_proj, ref_proj, depth_samples, src_h, src_w)
     return grid_sample_2d(src_fea, grid, align_corners=True, padding_mode="zeros")
+
+
+def warp_quad(
+    src_quad: "QuadImage",
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+) -> jnp.ndarray:
+    """Like `differentiable_warp`, but sampling from a precomputed quad image
+    (built once per source view and reused across taps/iterations).
+
+    Returns [B, D, H, W, C].
+    """
+    batch, num_depth, height, width = depth_samples.shape
+    grid = warp_grid(src_proj, ref_proj, depth_samples, src_quad.height, src_quad.width)
+    grid2 = grid.reshape(batch, -1, 2)
+    # align_corners=True unnormalization (matches grid_sample_2d)
+    ix = (grid2[..., 0] + 1.0) * 0.5 * (src_quad.width - 1)
+    iy = (grid2[..., 1] + 1.0) * 0.5 * (src_quad.height - 1)
+    out = quad_sample(src_quad, ix, iy, padding_mode="zeros")
+    return out.reshape(batch, num_depth, height, width, src_quad.channels)

@@ -22,9 +22,10 @@ def _rand_grid(rng, shape, lo=-1.4, hi=1.4):
     return (rng.random(shape) * (hi - lo) + lo).astype(np.float32)
 
 
+@pytest.mark.parametrize("method", ["quad", "taps4"])
 @pytest.mark.parametrize("align_corners", [True, False])
 @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
-def test_grid_sample_matches_torch(align_corners, padding_mode):
+def test_grid_sample_matches_torch(align_corners, padding_mode, method):
     rng = np.random.default_rng(42)
     b, h, w, c = 2, 13, 17, 5
     img = rng.standard_normal((b, h, w, c)).astype(np.float32)
@@ -35,6 +36,7 @@ def test_grid_sample_matches_torch(align_corners, padding_mode):
         jnp.asarray(grid),
         align_corners=align_corners,
         padding_mode=padding_mode,
+        method=method,
     )
 
     ref = F.grid_sample(
