@@ -8,7 +8,7 @@ lateral 1x1 connections, producing features {1: 16ch@1/2, 2: 32ch@1/4,
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -20,28 +20,31 @@ from patchmatchnet_tpu.ops.resize import upsample_bilinear_x2
 class FeatureNet(nn.Module):
     """Multi-scale feature pyramid over a single view [B, H, W, 3]."""
 
-    def setup(self):
-        self.conv0 = ConvBnReLU(8, 3, 1, 1)
-        self.conv1 = ConvBnReLU(8, 3, 1, 1)
-        self.conv2 = ConvBnReLU(16, 5, 2, 2)
-        self.conv3 = ConvBnReLU(16, 3, 1, 1)
-        self.conv4 = ConvBnReLU(16, 3, 1, 1)
-        self.conv5 = ConvBnReLU(32, 5, 2, 2)
-        self.conv6 = ConvBnReLU(32, 3, 1, 1)
-        self.conv7 = ConvBnReLU(32, 3, 1, 1)
-        self.conv8 = ConvBnReLU(64, 5, 2, 2)
-        self.conv9 = ConvBnReLU(64, 3, 1, 1)
-        self.conv10 = ConvBnReLU(64, 3, 1, 1)
+    dtype: Any = None
 
-        self.output1 = nn.Dense(64, use_bias=False, kernel_init=torch_kernel_init)
+    def setup(self):
+        dt = self.dtype
+        self.conv0 = ConvBnReLU(8, 3, 1, 1, dtype=dt)
+        self.conv1 = ConvBnReLU(8, 3, 1, 1, dtype=dt)
+        self.conv2 = ConvBnReLU(16, 5, 2, 2, dtype=dt)
+        self.conv3 = ConvBnReLU(16, 3, 1, 1, dtype=dt)
+        self.conv4 = ConvBnReLU(16, 3, 1, 1, dtype=dt)
+        self.conv5 = ConvBnReLU(32, 5, 2, 2, dtype=dt)
+        self.conv6 = ConvBnReLU(32, 3, 1, 1, dtype=dt)
+        self.conv7 = ConvBnReLU(32, 3, 1, 1, dtype=dt)
+        self.conv8 = ConvBnReLU(64, 5, 2, 2, dtype=dt)
+        self.conv9 = ConvBnReLU(64, 3, 1, 1, dtype=dt)
+        self.conv10 = ConvBnReLU(64, 3, 1, 1, dtype=dt)
+
+        self.output1 = nn.Dense(64, use_bias=False, kernel_init=torch_kernel_init, dtype=dt)
         self.inner1 = nn.Dense(
-            64, use_bias=True, kernel_init=torch_kernel_init, bias_init=torch_bias_init(32)
+            64, use_bias=True, kernel_init=torch_kernel_init, bias_init=torch_bias_init(32), dtype=dt
         )
         self.inner2 = nn.Dense(
-            64, use_bias=True, kernel_init=torch_kernel_init, bias_init=torch_bias_init(16)
+            64, use_bias=True, kernel_init=torch_kernel_init, bias_init=torch_bias_init(16), dtype=dt
         )
-        self.output2 = nn.Dense(32, use_bias=False, kernel_init=torch_kernel_init)
-        self.output3 = nn.Dense(16, use_bias=False, kernel_init=torch_kernel_init)
+        self.output2 = nn.Dense(32, use_bias=False, kernel_init=torch_kernel_init, dtype=dt)
+        self.output3 = nn.Dense(16, use_bias=False, kernel_init=torch_kernel_init, dtype=dt)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[int, jnp.ndarray]:
         conv1 = self.conv1(self.conv0(x, train), train)

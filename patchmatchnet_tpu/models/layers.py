@@ -13,7 +13,7 @@ degenerate 3-D convolution.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -50,6 +50,7 @@ class Conv2d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     zero_init: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +71,7 @@ class Conv2d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kernel_init,
             bias_init=bias_init,
+            dtype=self.dtype,
             name="conv2d",
         )(x)
 
@@ -82,6 +84,7 @@ class ConvBnReLU(nn.Module):
     stride: int = 1
     pad: int = 1
     dilation: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -93,10 +96,12 @@ class ConvBnReLU(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -110,6 +115,7 @@ class DenseBnReLU(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -117,10 +123,12 @@ class DenseBnReLU(nn.Module):
             features=self.features,
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -129,6 +137,7 @@ class Dense1(nn.Module):
     """Dense with bias — equivalent of a 1x1x1 Conv3d with bias."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +147,7 @@ class Dense1(nn.Module):
             use_bias=True,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(in_ch),
+            dtype=self.dtype,
             name="dense",
         )(x)
 

@@ -16,7 +16,7 @@ and net.py:321-342). TPU-native conventions:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -50,10 +50,14 @@ class PatchmatchNet(nn.Module):
     patchmatch_num_sample: Tuple[int, ...] = DEFAULT_NUM_SAMPLES
     propagate_neighbors: Tuple[int, ...] = DEFAULT_PROPAGATE_NEIGHBORS
     evaluate_neighbors: Tuple[int, ...] = DEFAULT_EVALUATE_NEIGHBORS
+    # Optional reduced-precision compute (e.g. jnp.bfloat16) for the
+    # feature/correlation path; geometry, softmax, regression and the
+    # refinement head stay f32. None = full f32 (bit-close to the reference).
+    compute_dtype: Any = None
 
     def setup(self):
         self.stages = 4
-        self.feature = FeatureNet()
+        self.feature = FeatureNet(dtype=self.compute_dtype)
         self.patchmatch_1 = self._make_stage(1)
         self.patchmatch_2 = self._make_stage(2)
         self.patchmatch_3 = self._make_stage(3)
@@ -71,6 +75,7 @@ class PatchmatchNet(nn.Module):
             propagate_neighbors=self.propagate_neighbors[i],
             evaluate_neighbors=self.evaluate_neighbors[i],
             stage=stage,
+            dtype=self.compute_dtype,
         )
 
     def __call__(

@@ -14,7 +14,7 @@ models/patchmatch.py). Layouts are TPU-native NHWC / hypothesis-last:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -129,15 +129,17 @@ def depth_weight(
 class PixelwiseNet(nn.Module):
     """Per-source-view visibility weight (reference: patchmatch.py:672-702)."""
 
+    dtype: Any = None
+
     def setup(self):
-        self.conv0 = DenseBnReLU(16)
-        self.conv1 = DenseBnReLU(8)
-        self.conv2 = Dense1(1)
+        self.conv0 = DenseBnReLU(16, dtype=self.dtype)
+        self.conv1 = DenseBnReLU(8, dtype=self.dtype)
+        self.conv2 = Dense1(1, dtype=self.dtype)
 
     def __call__(self, similarity: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """similarity: [B, D, H, W, G] -> weight [B, H, W, 1]."""
+        """similarity: [B, D, H, W, G] -> weight [B, H, W, 1] (f32)."""
         x = self.conv2(self.conv1(self.conv0(similarity, train), train))
-        x = jax.nn.sigmoid(x[..., 0])  # [B, D, H, W]
+        x = jax.nn.sigmoid(x[..., 0].astype(jnp.float32))  # [B, D, H, W]
         return jnp.max(x, axis=1)[..., None]  # [B, H, W, 1]
 
 
@@ -145,10 +147,12 @@ class SimilarityNet(nn.Module):
     """Spatial cost aggregation over eval neighbors (reference:
     patchmatch.py:532-577)."""
 
+    dtype: Any = None
+
     def setup(self):
-        self.conv0 = DenseBnReLU(16)
-        self.conv1 = DenseBnReLU(8)
-        self.similarity = Dense1(1)
+        self.conv0 = DenseBnReLU(16, dtype=self.dtype)
+        self.conv1 = DenseBnReLU(8, dtype=self.dtype)
+        self.similarity = Dense1(1, dtype=self.dtype)
 
     def __call__(
         self,
@@ -164,7 +168,7 @@ class SimilarityNet(nn.Module):
         sampled = grid_sample_2d(
             cost_img, grid, align_corners=False, padding_mode="border"
         )  # [B, Ke, H, W, D]
-        return jnp.sum(sampled * weight, axis=1)
+        return jnp.sum(sampled.astype(jnp.float32) * weight, axis=1)
 
 
 class FeatureWeightNet(nn.Module):
@@ -173,11 +177,12 @@ class FeatureWeightNet(nn.Module):
     patchmatch.py:580-624)."""
 
     groups: int
+    dtype: Any = None
 
     def setup(self):
-        self.conv0 = DenseBnReLU(16)
-        self.conv1 = DenseBnReLU(8)
-        self.similarity = Dense1(1)
+        self.conv0 = DenseBnReLU(16, dtype=self.dtype)
+        self.conv1 = DenseBnReLU(8, dtype=self.dtype)
+        self.similarity = Dense1(1, dtype=self.dtype)
 
     def __call__(
         self, ref_feature: jnp.ndarray, grid: jnp.ndarray, train: bool = False
@@ -193,7 +198,7 @@ class FeatureWeightNet(nn.Module):
         ref = ref_feature.reshape(b, 1, h, w, g, c // g)
         corr = jnp.mean(neighbors * ref, axis=-1)  # [B, Ke, H, W, G]
         out = self.similarity(self.conv1(self.conv0(corr, train), train))
-        return jax.nn.sigmoid(out[..., 0])  # [B, Ke, H, W]
+        return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))  # [B, Ke, H, W]
 
 
 class Evaluation(nn.Module):
@@ -202,10 +207,11 @@ class Evaluation(nn.Module):
     (reference: patchmatch.py:127-239)."""
 
     groups: int
+    dtype: Any = None
 
     def setup(self):
-        self.pixel_wise_net = PixelwiseNet()
-        self.similarity_net = SimilarityNet()
+        self.pixel_wise_net = PixelwiseNet(dtype=self.dtype)
+        self.similarity_net = SimilarityNet(dtype=self.dtype)
 
     def __call__(
         self,
@@ -226,8 +232,9 @@ class Evaluation(nn.Module):
         num_depth = depth_sample.shape[1]
 
         ref_grouped = ref_feature.reshape(b, 1, h, w, g, c // g)
-        weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=ref_feature.dtype)
-        similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=ref_feature.dtype)
+        # accumulate across views in f32 even when features are bf16
+        weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=jnp.float32)
+        similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=jnp.float32)
 
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
@@ -242,12 +249,14 @@ class Evaluation(nn.Module):
                 view_weight = view_weights[..., i : i + 1]  # [B, H, W, 1]
 
             vw = view_weight[:, None]  # [B, 1, H, W, 1]
-            similarity_sum = similarity_sum + similarity * vw
+            similarity_sum = similarity_sum + similarity.astype(jnp.float32) * vw
             weight_sum = weight_sum + vw
 
-        similarity = similarity_sum / weight_sum  # [B, D, H, W, G]
+        similarity = similarity_sum / weight_sum  # [B, D, H, W, G] f32
+        if self.dtype is not None:
+            similarity = similarity.astype(self.dtype)
         score = self.similarity_net(similarity, grid, weight, train)  # [B, H, W, D]
-        score = jax.nn.softmax(score, axis=-1)
+        score = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
 
         if view_weights is None:
             view_weights = jnp.concatenate(new_view_weights, axis=-1)  # [B, H, W, V]
@@ -362,6 +371,7 @@ class PatchMatch(nn.Module):
     propagate_neighbors: int = 16
     evaluate_neighbors: int = 9
     stage: int = 3
+    dtype: Any = None
 
     def setup(self):
         d = self.propagation_out_range
@@ -373,6 +383,7 @@ class PatchMatch(nn.Module):
             dilation=d,
             use_bias=True,
             zero_init=True,
+            dtype=self.dtype,
         )
         self.eval_conv = Conv2d(
             features=2 * self.evaluate_neighbors,
@@ -382,9 +393,10 @@ class PatchMatch(nn.Module):
             dilation=d,
             use_bias=True,
             zero_init=True,
+            dtype=self.dtype,
         )
-        self.feature_weight_net = FeatureWeightNet(groups=self.groups)
-        self.evaluation = Evaluation(groups=self.groups)
+        self.feature_weight_net = FeatureWeightNet(groups=self.groups, dtype=self.dtype)
+        self.evaluation = Evaluation(groups=self.groups, dtype=self.dtype)
 
     def __call__(
         self,
@@ -418,7 +430,7 @@ class PatchMatch(nn.Module):
         )
         propa_grid = None
         if has_propagation:
-            propa_offset = self.propa_conv(ref_feature)
+            propa_offset = self.propa_conv(ref_feature).astype(jnp.float32)
             propa_grid = build_offset_grid(
                 propa_offset,
                 _fixed_offsets("propagation", self.propagate_neighbors, self.propagation_out_range),
@@ -426,7 +438,7 @@ class PatchMatch(nn.Module):
                 w,
             )
 
-        eval_offset = self.eval_conv(ref_feature)
+        eval_offset = self.eval_conv(ref_feature).astype(jnp.float32)
         eval_grid = build_offset_grid(
             eval_offset,
             _fixed_offsets("evaluation", self.evaluate_neighbors, self.propagation_out_range),
