@@ -9,11 +9,14 @@ bilinear result (validated bit-exact against the 4-tap formulation).
 
 The quad image is built once per (feature map, padding mode) and reused by
 every sampling pass against it (all taps, all PatchMatch iterations).
+
+All gathers use promise_in_bounds: indices are clamped on construction, so
+XLA's default fill-mode select over the (wide) gather output is avoided.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +68,70 @@ def make_quad_image(image: jnp.ndarray, padding_mode: str) -> QuadImage:
     return QuadImage(quad, h, w, c, padded)
 
 
+def quad_coords(
+    quad: QuadImage,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    *,
+    padding_mode: str,
+    weight_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compute gather rows + the 4 bilinear tap weights.
+
+    Args:
+        ix / iy: [B, P] unnormalized pixel coordinates.
+    Returns:
+        (idx [B, P] int32 — always in-bounds of quad.data rows,
+         w4 [B, P, 4] tap weights, zeroed for invalid taps in zeros mode).
+    """
+    h, w = quad.height, quad.width
+    dtype = weight_dtype or quad.data.dtype
+
+    if padding_mode == "border":
+        assert not quad.padded
+        x0 = jnp.clip(jnp.floor(ix), 0, w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(iy), 0, h - 2).astype(jnp.int32)
+        wx = (ix - x0).astype(dtype)
+        wy = (iy - y0).astype(dtype)
+        idx = y0 * w + x0
+        w4 = jnp.stack(
+            [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+        )
+        return idx, w4
+
+    assert quad.padded
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    wx = (ix - x0f).astype(dtype)
+    wy = (iy - y0f).astype(dtype)
+    # validity of each tap against the ORIGINAL image bounds
+    x0v = ((x0f >= 0) & (x0f <= w - 1)).astype(dtype)
+    x1v = ((x0f >= -1) & (x0f <= w - 2)).astype(dtype)
+    y0v = ((y0f >= 0) & (y0f <= h - 1)).astype(dtype)
+    y1v = ((y0f >= -1) & (y0f <= h - 2)).astype(dtype)
+    # clamp so the quad row index stays within the padded table
+    x0 = jnp.clip(x0f, -1, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(y0f, -1, h - 1).astype(jnp.int32)
+    idx = (y0 + 1) * (w + 2) + (x0 + 1)
+    w4 = jnp.stack(
+        [
+            (1 - wx) * (1 - wy) * x0v * y0v,
+            wx * (1 - wy) * x1v * y0v,
+            (1 - wx) * wy * x0v * y1v,
+            wx * wy * x1v * y1v,
+        ],
+        axis=-1,
+    )
+    return idx, w4
+
+
+def _gather_rows(quad: QuadImage, idx: jnp.ndarray) -> jnp.ndarray:
+    """[B, P] indices -> [B, P, 4C] rows; indices promised in bounds."""
+    return jnp.take_along_axis(
+        quad.data, idx[..., None], axis=1, mode="promise_in_bounds"
+    )
+
+
 def quad_sample(
     quad: QuadImage,
     ix: jnp.ndarray,
@@ -72,54 +139,57 @@ def quad_sample(
     *,
     padding_mode: str,
 ) -> jnp.ndarray:
-    """Bilinear sample at unnormalized pixel coords ix/iy [B, P].
+    """Bilinear sample at unnormalized pixel coords ix/iy [B, P] -> [B, P, C].
 
     Semantics identical to the 4-tap reference formulation (torch
     grid_sample): zeros mode masks out-of-bounds taps; border mode assumes
     coordinates pre-clamped to [0, size-1] and is exact at the high edge via
     the shifted-corner trick (x0 = min(floor(ix), W-2), wx = ix - x0).
     """
-    h, w, c = quad.height, quad.width, quad.channels
-    b, p = ix.shape
-    dtype = quad.data.dtype
-
-    if padding_mode == "border":
-        assert not quad.padded
-        x0 = jnp.minimum(jnp.floor(ix), w - 2).astype(jnp.int32)
-        y0 = jnp.minimum(jnp.floor(iy), h - 2).astype(jnp.int32)
-        x0 = jnp.maximum(x0, 0)
-        y0 = jnp.maximum(y0, 0)
-        wx = (ix - x0).astype(dtype)[..., None]
-        wy = (iy - y0).astype(dtype)[..., None]
-        idx = y0 * w + x0
-        w00 = (1 - wx) * (1 - wy)
-        w01 = wx * (1 - wy)
-        w10 = (1 - wx) * wy
-        w11 = wx * wy
-    else:
-        assert quad.padded
-        x0f = jnp.floor(ix)
-        y0f = jnp.floor(iy)
-        wx = (ix - x0f).astype(dtype)[..., None]
-        wy = (iy - y0f).astype(dtype)[..., None]
-        # validity of each tap against the ORIGINAL image bounds
-        x0v = ((x0f >= 0) & (x0f <= w - 1)).astype(dtype)[..., None]
-        x1v = ((x0f >= -1) & (x0f <= w - 2)).astype(dtype)[..., None]
-        y0v = ((y0f >= 0) & (y0f <= h - 1)).astype(dtype)[..., None]
-        y1v = ((y0f >= -1) & (y0f <= h - 2)).astype(dtype)[..., None]
-        # clamp so the quad row index stays within the padded table
-        x0 = jnp.clip(x0f, -1, w - 1).astype(jnp.int32)
-        y0 = jnp.clip(y0f, -1, h - 1).astype(jnp.int32)
-        idx = (y0 + 1) * (w + 2) + (x0 + 1)
-        w00 = (1 - wx) * (1 - wy) * x0v * y0v
-        w01 = wx * (1 - wy) * x1v * y0v
-        w10 = (1 - wx) * wy * x0v * y1v
-        w11 = wx * wy * x1v * y1v
-
-    taps = jnp.take_along_axis(quad.data, idx[..., None], axis=1)  # [B, P, 4C]
+    c = quad.channels
+    idx, w4 = quad_coords(quad, ix, iy, padding_mode=padding_mode)
+    taps = _gather_rows(quad, idx)  # [B, P, 4C]
     return (
-        taps[..., 0 * c : 1 * c] * w00
-        + taps[..., 1 * c : 2 * c] * w01
-        + taps[..., 2 * c : 3 * c] * w10
-        + taps[..., 3 * c : 4 * c] * w11
+        taps[..., 0 * c : 1 * c] * w4[..., 0:1]
+        + taps[..., 1 * c : 2 * c] * w4[..., 1:2]
+        + taps[..., 2 * c : 3 * c] * w4[..., 2:3]
+        + taps[..., 3 * c : 4 * c] * w4[..., 3:4]
     )
+
+
+def quad_sample_corr(
+    quad: QuadImage,
+    ix: jnp.ndarray,
+    iy: jnp.ndarray,
+    ref_feature: jnp.ndarray,
+    groups: int,
+    num_depth: int,
+    *,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Fused bilinear warp + group-wise correlation.
+
+    Computes mean over C/G of (bilinear_sample(quad) * ref) without ever
+    materializing the [P, C] warped features — the gather output feeds the
+    correlation reduction directly (the hottest pattern of PatchMatch
+    evaluation; reference: patchmatch.py:199-203).
+
+    Args:
+        ix / iy: [B, P] sample coords with P = D * H * W ordered (d, h, w).
+        ref_feature: [B, H, W, C] reference features.
+        groups: G. num_depth: D.
+    Returns:
+        similarity [B, D, H, W, G].
+    """
+    b, h, w, c = ref_feature.shape
+    g = groups
+    cg = c // g
+    idx, w4 = quad_coords(quad, ix, iy, padding_mode=padding_mode)
+    taps = _gather_rows(quad, idx)  # [B, P, 4C]
+    taps = taps.reshape(b, num_depth, h * w, 4, g, cg)
+    ref = ref_feature.reshape(b, 1, h * w, 1, g, cg)
+    # mean over Cg, then the (linear) bilinear combination over the 4 taps
+    per_tap = jnp.mean(taps * ref, axis=-1)  # [B, D, HW, 4, G]
+    w4 = w4.reshape(b, num_depth, h * w, 4, 1).astype(per_tap.dtype)
+    corr = jnp.sum(per_tap * w4, axis=3)  # [B, D, HW, G]
+    return corr.reshape(b, num_depth, h, w, g)
