@@ -198,11 +198,46 @@ def cmd_convert(argv: List[str]) -> None:
     print(f"Converted {args.checkpoint_path} -> {args.output} ({n} values)")
 
 
+def cmd_colmap_import(argv: List[str]) -> None:
+    from patchmatchnet_tpu.tools.colmap_import import main as colmap_import_main
+
+    colmap_import_main(argv)
+
+
+def cmd_colmap_export(argv: List[str]) -> None:
+    from patchmatchnet_tpu.tools.colmap_export import main as colmap_export_main
+
+    colmap_export_main(argv)
+
+
+def cmd_convert_dtu(argv: List[str]) -> None:
+    from patchmatchnet_tpu.tools.convert_dtu import main as convert_dtu_main
+
+    convert_dtu_main(argv)
+
+
+def cmd_convert_eth3d(argv: List[str]) -> None:
+    from patchmatchnet_tpu.tools.convert_eth3d import main as convert_eth3d_main
+
+    convert_eth3d_main(argv)
+
+
+def cmd_visualize(argv: List[str]) -> None:
+    from patchmatchnet_tpu.tools.visualize import main as visualize_main
+
+    visualize_main(argv)
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
     "fuse": cmd_fuse,
     "convert": cmd_convert,
+    "colmap-import": cmd_colmap_import,
+    "colmap-export": cmd_colmap_export,
+    "convert-dtu": cmd_convert_dtu,
+    "convert-eth3d": cmd_convert_eth3d,
+    "visualize": cmd_visualize,
 }
 
 

@@ -166,10 +166,15 @@ def read_cameras_binary(path: str) -> Dict[int, ColmapCamera]:
 
 def read_images_text(path: str) -> List[ColmapImage]:
     images = []
-    lines = list(_data_lines(path))
+    with open(path) as f:
+        raw = [ln.rstrip("\n") for ln in f if not ln.startswith("#")]
+    # images come in line PAIRS: pose line + points2D line (may be blank)
     i = 0
-    while i < len(lines):
-        el = lines[i].split()
+    while i < len(raw):
+        if not raw[i].strip():
+            i += 1
+            continue
+        el = raw[i].split()
         img = ColmapImage(
             int(el[0]),
             np.array([float(x) for x in el[1:5]]),
@@ -178,9 +183,11 @@ def read_images_text(path: str) -> List[ColmapImage]:
             el[9],
         )
         i += 1
-        if i < len(lines):
-            pts = lines[i].split()
-            img.point3d_ids = np.array(pts[2::3], dtype=np.int64) if pts else np.empty(0, np.int64)
+        if i < len(raw):
+            pts = raw[i].split()
+            img.point3d_ids = (
+                np.array(pts[2::3], dtype=np.int64) if pts else np.empty(0, np.int64)
+            )
             i += 1
         images.append(img)
     return images
