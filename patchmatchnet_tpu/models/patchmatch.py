@@ -27,7 +27,7 @@ from patchmatchnet_tpu.models.layers import (
 )
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
 from patchmatchnet_tpu.ops.quad_sample import make_quad_image
-from patchmatchnet_tpu.ops.warp import warp_corr
+from patchmatchnet_tpu.ops.warp import warp_quad
 
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
 
@@ -235,12 +235,12 @@ class Evaluation(nn.Module):
         weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=jnp.float32)
         similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=jnp.float32)
 
+        ref_grouped = ref_feature.reshape(b, 1, h, w, g, c // g)
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
-            # fused warp + group-wise correlation (no [P, C] intermediate)
-            similarity = warp_corr(
-                src_quad, src_proj, ref_proj, depth_sample, ref_feature, g
-            )  # [B, D, H, W, G]
+            warped = warp_quad(src_quad, src_proj, ref_proj, depth_sample)
+            warped = warped.reshape(b, num_depth, h, w, g, c // g)
+            similarity = jnp.mean(warped * ref_grouped, axis=-1)  # [B, D, H, W, G]
 
             if view_weights is None:
                 view_weight = self.pixel_wise_net(similarity, train)  # [B, H, W, 1]
