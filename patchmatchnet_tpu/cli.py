@@ -92,6 +92,8 @@ def cmd_train(argv: List[str]) -> None:
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--rand_seed", type=int, default=1)
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler device trace into this dir")
     args = p.parse_args(argv)
     if not args.output_folder:
         args.output_folder = args.input_folder
@@ -99,7 +101,7 @@ def cmd_train(argv: List[str]) -> None:
     from patchmatchnet_tpu.train.driver import run_training
 
     cfg = _config_from_args(args)
-    run_training(cfg, num_devices=args.num_devices)
+    run_training(cfg, num_devices=args.num_devices, profile_dir=args.profile_dir)
 
 
 def cmd_eval(argv: List[str]) -> None:

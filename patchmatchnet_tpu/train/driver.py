@@ -35,6 +35,7 @@ from patchmatchnet_tpu.train.loop import (
 )
 from patchmatchnet_tpu.utils.logging import MetricsLogger
 from patchmatchnet_tpu.utils.metrics import DictAverageMeter
+from patchmatchnet_tpu.utils.profiling import PhaseTimer, jax_trace
 
 
 def build_model(cfg: Config) -> PatchmatchNet:
@@ -69,7 +70,12 @@ def _init_variables(model: PatchmatchNet, sample_batch, seed: int):
     )
 
 
-def run_training(cfg: Config, num_devices: Optional[int] = None) -> None:
+def run_training(
+    cfg: Config,
+    num_devices: Optional[int] = None,
+    profile_dir: str = "",
+    profile_steps: int = 5,
+) -> None:
     t = cfg.train
     d = cfg.data
     os.makedirs(t.output_folder, exist_ok=True)
@@ -135,26 +141,38 @@ def run_training(cfg: Config, num_devices: Optional[int] = None) -> None:
     eval_step = make_eval_step(model)
     logger = MetricsLogger(t.output_folder)
     rng = jax.random.PRNGKey(t.rand_seed)
+    timer = PhaseTimer()
 
     for epoch in range(start_epoch, t.epochs):
         print(f"Epoch {epoch + 1}:")
         # training
-        for batch_idx, batch in enumerate(train_loader):
+        batch_iter = iter(train_loader)
+        for batch_idx in range(steps_per_epoch):
             tick = time.time()
             global_step = epoch * steps_per_epoch + batch_idx
-            sharded = shard_batch(
-                {k: v for k, v in batch.items() if k != "filename"}, mesh
-            )
+            with timer("data"):
+                batch = next(batch_iter)
+                sharded = shard_batch(
+                    {k: v for k, v in batch.items() if k != "filename"}, mesh
+                )
             rng, key = jax.random.split(rng)
-            state, metrics = train_step(state, sharded, key)
+            capture = (
+                profile_dir and epoch == start_epoch and batch_idx == 1
+            )
+            with jax_trace(profile_dir if capture else None):
+                with timer("step"):
+                    state, metrics = train_step(state, sharded, key)
+                    if capture or batch_idx < profile_steps:
+                        jax.block_until_ready(metrics["loss"])
             if global_step % t.summary_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
-                logger.scalars("train", metrics, global_step)
+                logger.scalars("train", {**metrics, **timer.as_dict()}, global_step)
                 print(
                     f"Epoch {epoch + 1}/{t.epochs}, Iter {batch_idx + 1}/"
                     f"{steps_per_epoch}, loss = {metrics['loss']:.3f}, "
                     f"time = {time.time() - tick:.3f}"
                 )
+        print(f"epoch phases: {timer.summary()}")
         logger.flush()
 
         # checkpoint + inference-module export
