@@ -145,7 +145,12 @@ class PixelwiseNet(nn.Module):
 
 class SimilarityNet(nn.Module):
     """Spatial cost aggregation over eval neighbors (reference:
-    patchmatch.py:532-577)."""
+    patchmatch.py:532-577), with the non-learned depth weight
+    (reference: patchmatch.py:627-669) computed from the SAME neighbor
+    gather: the normalized inverse-depth map and the cost map are sampled
+    jointly as a [B, H, W, 2D] image, halving eval-grid gather indices while
+    producing bit-identical weights (bilinear sampling is linear, so
+    sampling a channel-concat equals concatenating per-channel samples)."""
 
     dtype: Any = None
 
@@ -158,17 +163,34 @@ class SimilarityNet(nn.Module):
         self,
         x1: jnp.ndarray,
         grid: jnp.ndarray,
-        weight: jnp.ndarray,
+        x_norm_img: jnp.ndarray,
+        feature_weight: jnp.ndarray,
+        interval_scale: float,
         train: bool = False,
     ) -> jnp.ndarray:
         """x1: [B, D, H, W, G]; grid: [B, Ke, H, W, 2];
-        weight: [B, Ke, H, W, D] -> score [B, H, W, D]."""
+        x_norm_img: [B, H, W, D] normalized inverse depth (gradient-stopped);
+        feature_weight: [B, Ke, H, W] -> score [B, H, W, D]."""
+        num_depth = x_norm_img.shape[-1]
         cost = self.similarity(self.conv1(self.conv0(x1, train), train))[..., 0]
         cost_img = jnp.transpose(cost, (0, 2, 3, 1))  # [B, H, W, D]
+        joint = jnp.concatenate(
+            [x_norm_img.astype(cost_img.dtype), cost_img], axis=-1
+        )
         sampled = grid_sample_2d(
-            cost_img, grid, align_corners=False, padding_mode="border"
-        )  # [B, Ke, H, W, D]
-        return jnp.sum(sampled.astype(jnp.float32) * weight, axis=1)
+            joint, grid, align_corners=False, padding_mode="border"
+        )  # [B, Ke, H, W, 2D]
+        x_smp = sampled[..., :num_depth].astype(jnp.float32)
+        cost_smp = sampled[..., num_depth:].astype(jnp.float32)
+
+        # depth weight (reference: patchmatch.py:655-669), gradient-stopped
+        diff = jnp.abs(x_smp - x_norm_img[:, None]) / interval_scale
+        dw = jax.lax.stop_gradient(
+            jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
+        )
+        weight = dw * feature_weight[..., None]  # [B, Ke, H, W, D]
+        weight = weight / jnp.sum(weight, axis=1, keepdims=True)
+        return jnp.sum(cost_smp * weight, axis=1)
 
 
 class FeatureWeightNet(nn.Module):
@@ -221,7 +243,9 @@ class Evaluation(nn.Module):
         src_projs: Sequence[jnp.ndarray],
         depth_sample: jnp.ndarray,
         grid: jnp.ndarray,
-        weight: jnp.ndarray,
+        x_norm_img: jnp.ndarray,
+        feature_weight: jnp.ndarray,
+        interval_scale: float,
         view_weights: Optional[jnp.ndarray],
         is_inverse: bool,
         train: bool = False,
@@ -255,7 +279,9 @@ class Evaluation(nn.Module):
         similarity = similarity_sum / weight_sum  # [B, D, H, W, G] f32
         if self.dtype is not None:
             similarity = similarity.astype(self.dtype)
-        score = self.similarity_net(similarity, grid, weight, train)  # [B, H, W, D]
+        score = self.similarity_net(
+            similarity, grid, x_norm_img, feature_weight, interval_scale, train
+        )  # [B, H, W, D]
         score = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
 
         if view_weights is None:
@@ -483,15 +509,15 @@ class PatchMatch(nn.Module):
             ):
                 depth_sample = propagate(depth_sample, propa_grid)
 
-            dw = depth_weight(
-                jax.lax.stop_gradient(depth_sample),
-                depth_min,
-                depth_max,
-                jax.lax.stop_gradient(eval_grid),
-                self.patchmatch_interval_scale,
-            )  # [B, Ke, H, W, D]
-            weight = dw * feature_weight[..., None]
-            weight = weight / jnp.sum(weight, axis=1, keepdims=True)
+            # normalized inverse depth for the in-aggregation depth weight
+            inv_min = (1.0 / depth_min).reshape(b, 1, 1, 1)
+            inv_max = (1.0 / depth_max).reshape(b, 1, 1, 1)
+            x_norm = (1.0 / jax.lax.stop_gradient(depth_sample) - inv_max) / (
+                inv_min - inv_max
+            )
+            x_norm_img = jax.lax.stop_gradient(
+                jnp.transpose(x_norm, (0, 2, 3, 1))
+            )  # [B, H, W, D]
 
             depth, score, view_weights = self.evaluation(
                 ref_feature,
@@ -499,8 +525,10 @@ class PatchMatch(nn.Module):
                 ref_proj,
                 src_projs,
                 depth_sample,
-                eval_grid,
-                weight,
+                jax.lax.stop_gradient(eval_grid),
+                x_norm_img,
+                feature_weight,
+                self.patchmatch_interval_scale,
                 view_weights,
                 is_inverse,
                 train,
