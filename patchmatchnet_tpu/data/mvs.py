@@ -48,8 +48,19 @@ def adjust_sample_dims(sample: Dict[str, Any]) -> Dict[str, Any]:
     out = dict(sample)
     out["orig_height"], out["orig_width"] = height, width
     if (new_h, new_w) != (height, width):
-        out["images"] = np.stack(
-            [resize_bilinear_np(images[i], new_h, new_w) for i in range(n)]
+        from patchmatchnet_tpu import native as _native
+
+        resized = (
+            _native.resize_bilinear_batch(images.astype(np.float32), new_h, new_w)
+            if images.dtype == np.float32
+            else None
+        )
+        out["images"] = (
+            resized
+            if resized is not None
+            else np.stack(
+                [resize_bilinear_np(images[i], new_h, new_w) for i in range(n)]
+            )
         )
         intr = sample["intrinsics"].copy()
         intr[:, 0] *= new_w / width

@@ -20,6 +20,8 @@ try:  # cv2 is present in this environment; fall back to numpy if not
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
+from patchmatchnet_tpu import native as _native
+
 
 def resize_bilinear_np(image: np.ndarray, height: int, width: int) -> np.ndarray:
     """Bilinear resize with half-pixel centers (cv2.INTER_LINEAR / torch
@@ -53,6 +55,11 @@ def resize_bilinear_np(image: np.ndarray, height: int, width: int) -> np.ndarray
 
 
 def _resize(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    # native C++ path: exact float bilinear (cv2 uses 5-bit fixed point)
+    if image.dtype == np.float32:
+        out = _native.resize_bilinear(image, height, width)
+        if out is not None:
+            return out
     if _HAS_CV2 and image.dtype in (np.float32, np.uint8):
         return cv2.resize(image, (width, height), interpolation=cv2.INTER_LINEAR)
     return resize_bilinear_np(image, height, width)
@@ -81,7 +88,13 @@ def read_image(filename: str, max_dim: int = -1) -> Tuple[np.ndarray, int, int]:
     Returns (image[H, W, C], original_height, original_width).
     """
     image = Image.open(filename)
-    np_image = np.array(image, dtype=np.float32) / 255.0
+    raw = np.asarray(image)
+    if raw.dtype == np.uint8:
+        np_image = _native.u8_to_f32(raw)
+        if np_image is None:
+            np_image = raw.astype(np.float32) / 255.0
+    else:
+        np_image = np.asarray(image, dtype=np.float32) / 255.0
     return scale_to_max_dim(np_image, max_dim)
 
 
