@@ -84,6 +84,9 @@ def cmd_train(argv: List[str]) -> None:
     p.add_argument("--test_list", type=str, required=True)
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--robust_train", action="store_true", default=False)
+    p.add_argument("--dataset", type=str, default="unified",
+                   choices=["unified", "dtu_legacy"],
+                   help="unified cams/pair layout or raw DTU (train_dtu path)")
     p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--learning_rate", type=float, default=0.001)
     p.add_argument("--lr_epochs", type=str, default="10,12,14:2")
@@ -200,6 +203,28 @@ def cmd_convert(argv: List[str]) -> None:
     print(f"Converted {args.checkpoint_path} -> {args.output} ({n} values)")
 
 
+def cmd_export(argv: List[str]) -> None:
+    p = argparse.ArgumentParser(prog="patchmatchnet-tpu export")
+    p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--output", type=str, required=True, help="output .stablehlo path")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--num_views", type=int, default=5)
+    p.add_argument("--height", type=int, default=864)
+    p.add_argument("--width", type=int, default=1152)
+    args = p.parse_args(argv)
+
+    from patchmatchnet_tpu.compat import export_inference
+    from patchmatchnet_tpu.train.driver import load_any_checkpoint
+
+    variables = load_any_checkpoint(args.checkpoint_path)
+    blob = export_inference(
+        variables, args.batch, args.num_views, args.height, args.width
+    )
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"Exported AOT inference artifact -> {args.output} ({len(blob)} bytes)")
+
+
 def cmd_colmap_import(argv: List[str]) -> None:
     from patchmatchnet_tpu.tools.colmap_import import main as colmap_import_main
 
@@ -235,6 +260,7 @@ COMMANDS = {
     "eval": cmd_eval,
     "fuse": cmd_fuse,
     "convert": cmd_convert,
+    "export": cmd_export,
     "colmap-import": cmd_colmap_import,
     "colmap-export": cmd_colmap_export,
     "convert-dtu": cmd_convert_dtu,

@@ -26,6 +26,7 @@ class ModelConfig:
 @dataclass
 class DataConfig:
     input_folder: str = ""
+    dataset: str = "unified"  # "unified" (cams/pair layout) or "dtu_legacy"
     num_views: int = 5
     image_max_dim: int = -1
     scan_list: str = ""

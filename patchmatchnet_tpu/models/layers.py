@@ -186,6 +186,67 @@ class ConvTranspose2dTorch(nn.Module):
         )
 
 
+class ConvBn(nn.Module):
+    """Conv2d (no bias) + BatchNorm, no activation (reference:
+    module.py:107-127 — defined by the reference but unused; provided for
+    API-surface parity)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.pad, self.pad), (self.pad, self.pad)),
+            use_bias=False,
+            kernel_init=torch_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
+        )(x)
+
+
+class Conv1dBnReLU(nn.Module):
+    """1-D Conv + BatchNorm + ReLU over [B, L, C] (reference:
+    module.py:75-104 — defined by the reference but unused; provided for
+    API-surface parity)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=((self.pad, self.pad),),
+            kernel_dilation=(self.dilation,),
+            use_bias=False,
+            kernel_init=torch_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
 def batch_norm_2d(x: jnp.ndarray, train: bool, name: str = "bn"):
     """Standalone BatchNorm factory used by Refinement (reference net.py:90)."""
     return nn.BatchNorm(

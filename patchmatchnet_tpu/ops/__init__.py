@@ -7,6 +7,7 @@ semantics.
 
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
 from patchmatchnet_tpu.ops.warp import differentiable_warp, warp_grid
+from patchmatchnet_tpu.ops.regression import depth_regression
 from patchmatchnet_tpu.ops.resize import (
     upsample_bilinear_x2,
     upsample_nearest_x2,
@@ -15,6 +16,7 @@ from patchmatchnet_tpu.ops.resize import (
 )
 
 __all__ = [
+    "depth_regression",
     "grid_sample_2d",
     "differentiable_warp",
     "warp_grid",

@@ -20,7 +20,7 @@ import numpy as np
 
 from patchmatchnet_tpu.compat import convert_torch_checkpoint, load_variables, save_variables
 from patchmatchnet_tpu.config import Config
-from patchmatchnet_tpu.data import BatchLoader, MVSDataset
+from patchmatchnet_tpu.data import BatchLoader, DTULegacyDataset, MVSDataset
 from patchmatchnet_tpu.models import PatchmatchNet
 from patchmatchnet_tpu.parallel import make_mesh, replicated_sharding, shard_batch
 from patchmatchnet_tpu.train.loop import (
@@ -81,23 +81,34 @@ def run_training(
     os.makedirs(t.output_folder, exist_ok=True)
     cfg.save(os.path.join(t.output_folder, "config.json"))
 
-    train_dataset = MVSDataset(
-        d.input_folder,
-        num_views=d.num_views,
-        max_dim=d.image_max_dim,
-        scan_list=t.train_list,
-        num_light_idx=d.num_light_idx,
-        image_extension=d.image_extension,
-        robust_train=t.robust_train,
-    )
-    val_dataset = MVSDataset(
-        d.input_folder,
-        num_views=d.num_views,
-        max_dim=d.image_max_dim,
-        scan_list=t.test_list,
-        num_light_idx=d.num_light_idx,
-        image_extension=d.image_extension,
-    )
+    if d.dataset == "dtu_legacy":
+        # raw DTU layout (reference train_dtu.py path); num_views here is the
+        # TOTAL view count including the reference view, as in the legacy CLI
+        train_dataset = DTULegacyDataset(
+            d.input_folder, t.train_list, num_views=d.num_views,
+            robust_train=t.robust_train,
+        )
+        val_dataset = DTULegacyDataset(
+            d.input_folder, t.test_list, num_views=d.num_views
+        )
+    else:
+        train_dataset = MVSDataset(
+            d.input_folder,
+            num_views=d.num_views,
+            max_dim=d.image_max_dim,
+            scan_list=t.train_list,
+            num_light_idx=d.num_light_idx,
+            image_extension=d.image_extension,
+            robust_train=t.robust_train,
+        )
+        val_dataset = MVSDataset(
+            d.input_folder,
+            num_views=d.num_views,
+            max_dim=d.image_max_dim,
+            scan_list=t.test_list,
+            num_light_idx=d.num_light_idx,
+            image_extension=d.image_extension,
+        )
     train_loader = BatchLoader(
         train_dataset, d.batch_size, shuffle=True, drop_last=True, seed=t.rand_seed
     )
@@ -161,9 +172,13 @@ def run_training(
             )
             with jax_trace(profile_dir if capture else None):
                 with timer("step"):
-                    state, metrics = train_step(state, sharded, key)
+                    state, metrics, image_outputs = train_step(state, sharded, key)
                     if capture or batch_idx < profile_steps:
                         jax.block_until_ready(metrics["loss"])
+            if global_step % (50 * t.summary_freq) == 0:
+                for name, img in image_outputs.items():
+                    arr = np.asarray(img[0])
+                    logger.image("train", name, arr, global_step)
             if global_step % t.summary_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 logger.scalars("train", {**metrics, **timer.as_dict()}, global_step)

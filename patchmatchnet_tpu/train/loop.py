@@ -142,13 +142,25 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **_compute_metrics(dp, gts, masks)}
+        # image summaries (stay on device unless the caller pulls them;
+        # reference counterpart: train_dtu.py:224-236)
+        m0 = masks[0].astype(jnp.float32)
+        images = {
+            "ref-image": batch["images"][:, 0],
+            "depth-gt-stage-0": gts[0] * m0,
+            "depth-refined-stage-0": dp[0][-1] * m0,
+            "error-map-stage-0": jnp.abs(dp[0][-1] - gts[0]) * m0,
+        }
+        for i in (1, 2, 3):
+            mi = masks[i].astype(jnp.float32)
+            images[f"depth-stage-{i}"] = dp[i][-1] * mi
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        return new_state, metrics
+        return new_state, metrics, images
 
     return jax.jit(step, donate_argnums=(0,))
 

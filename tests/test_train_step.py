@@ -70,11 +70,12 @@ def test_train_step_decreases_loss(setup):
     rng = jax.random.PRNGKey(42)
     losses = []
     for i in range(3):
-        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics, images = step(state, batch, jax.random.fold_in(rng, i))
         losses.append(float(metrics["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
     assert int(state.step) == 3
+    assert images["depth-refined-stage-0"].shape == batch["depth_gt"].shape
     # metrics exist and are finite
     for key in ("depth-error-stage-0", "threshold-2mm-error"):
         assert np.isfinite(float(metrics[key]))
@@ -93,7 +94,7 @@ def test_batch_stats_update(setup):
     state = fresh_state()
     step = make_train_step(model, tx)
     before = jax.tree.leaves(state.batch_stats)[0].copy()
-    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    new_state, _, _ = step(state, batch, jax.random.PRNGKey(0))
     after = jax.tree.leaves(new_state.batch_stats)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
@@ -131,13 +132,13 @@ def test_data_parallel_mesh_step(setup):
     step = make_train_step(model, tx)
 
     # Single-device result
-    state_a, metrics_a = step(fresh_state(), jax.tree.map(jnp.asarray, batch), rng)
+    state_a, metrics_a, _ = step(fresh_state(), jax.tree.map(jnp.asarray, batch), rng)
 
     # Sharded result
     sharded_batch = shard_batch(batch, mesh)
     rep = replicated_sharding(mesh)
     state_sharded = jax.device_put(fresh_state(), rep)
-    state_b, metrics_b = step(state_sharded, sharded_batch, jax.device_put(rng, rep))
+    state_b, metrics_b, _ = step(state_sharded, sharded_batch, jax.device_put(rng, rep))
 
     np.testing.assert_allclose(
         float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5
