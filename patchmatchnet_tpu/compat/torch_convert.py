@@ -77,6 +77,9 @@ def convert_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
             continue
 
         w = value if isinstance(value, np.ndarray) else _to_np(value)
+        # feature_weight_net lives under Evaluation in this framework (its
+        # neighbor sampling is fused into the evaluation gather)
+        key = key.replace(".feature_weight_net.", ".evaluation.feature_weight_net.")
         parts = key.split(".")
         leaf = parts[-1]
         scope = parts[:-1]

@@ -144,13 +144,9 @@ class PixelwiseNet(nn.Module):
 
 
 class SimilarityNet(nn.Module):
-    """Spatial cost aggregation over eval neighbors (reference:
-    patchmatch.py:532-577), with the non-learned depth weight
-    (reference: patchmatch.py:627-669) computed from the SAME neighbor
-    gather: the normalized inverse-depth map and the cost map are sampled
-    jointly as a [B, H, W, 2D] image, halving eval-grid gather indices while
-    producing bit-identical weights (bilinear sampling is linear, so
-    sampling a channel-concat equals concatenating per-channel samples)."""
+    """Per-hypothesis matching cost from the aggregated similarity volume
+    (reference: patchmatch.py:532-577; the spatial aggregation itself lives
+    in Evaluation, fused into the shared eval-grid gather)."""
 
     dtype: Any = None
 
@@ -159,38 +155,10 @@ class SimilarityNet(nn.Module):
         self.conv1 = DenseBnReLU(8, dtype=self.dtype)
         self.similarity = Dense1(1, dtype=self.dtype)
 
-    def __call__(
-        self,
-        x1: jnp.ndarray,
-        grid: jnp.ndarray,
-        x_norm_img: jnp.ndarray,
-        feature_weight: jnp.ndarray,
-        interval_scale: float,
-        train: bool = False,
-    ) -> jnp.ndarray:
-        """x1: [B, D, H, W, G]; grid: [B, Ke, H, W, 2];
-        x_norm_img: [B, H, W, D] normalized inverse depth (gradient-stopped);
-        feature_weight: [B, Ke, H, W] -> score [B, H, W, D]."""
-        num_depth = x_norm_img.shape[-1]
+    def __call__(self, x1: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x1: [B, D, H, W, G] -> cost image [B, H, W, D]."""
         cost = self.similarity(self.conv1(self.conv0(x1, train), train))[..., 0]
-        cost_img = jnp.transpose(cost, (0, 2, 3, 1))  # [B, H, W, D]
-        joint = jnp.concatenate(
-            [x_norm_img.astype(cost_img.dtype), cost_img], axis=-1
-        )
-        sampled = grid_sample_2d(
-            joint, grid, align_corners=False, padding_mode="border"
-        )  # [B, Ke, H, W, 2D]
-        x_smp = sampled[..., :num_depth].astype(jnp.float32)
-        cost_smp = sampled[..., num_depth:].astype(jnp.float32)
-
-        # depth weight (reference: patchmatch.py:655-669), gradient-stopped
-        diff = jnp.abs(x_smp - x_norm_img[:, None]) / interval_scale
-        dw = jax.lax.stop_gradient(
-            jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
-        )
-        weight = dw * feature_weight[..., None]  # [B, Ke, H, W, D]
-        weight = weight / jnp.sum(weight, axis=1, keepdims=True)
-        return jnp.sum(cost_smp * weight, axis=1)
+        return jnp.transpose(cost, (0, 2, 3, 1))
 
 
 class FeatureWeightNet(nn.Module):
@@ -206,21 +174,28 @@ class FeatureWeightNet(nn.Module):
         self.conv1 = DenseBnReLU(8, dtype=self.dtype)
         self.similarity = Dense1(1, dtype=self.dtype)
 
-    def __call__(
-        self, ref_feature: jnp.ndarray, grid: jnp.ndarray, train: bool = False
+    def weights_from_neighbors(
+        self, neighbors: jnp.ndarray, ref_feature: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        """ref_feature: [B, H, W, C]; grid: [B, Ke, H, W, 2] -> [B, Ke, H, W]."""
+        """neighbors: [B, Ke, H, W, C] pre-sampled reference-feature
+        neighbors; ref_feature: [B, H, W, C] -> [B, Ke, H, W]."""
         b, h, w, c = ref_feature.shape
         g = self.groups
-        neighbors = grid_sample_2d(
-            ref_feature, grid, align_corners=False, padding_mode="border"
-        )  # [B, Ke, H, W, C]
         ke = neighbors.shape[1]
         neighbors = neighbors.reshape(b, ke, h, w, g, c // g)
         ref = ref_feature.reshape(b, 1, h, w, g, c // g)
         corr = jnp.mean(neighbors * ref, axis=-1)  # [B, Ke, H, W, G]
         out = self.similarity(self.conv1(self.conv0(corr, train), train))
         return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))  # [B, Ke, H, W]
+
+    def __call__(
+        self, ref_feature: jnp.ndarray, grid: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """ref_feature: [B, H, W, C]; grid: [B, Ke, H, W, 2] -> [B, Ke, H, W]."""
+        neighbors = grid_sample_2d(
+            ref_feature, grid, align_corners=False, padding_mode="border"
+        )  # [B, Ke, H, W, C]
+        return self.weights_from_neighbors(neighbors, ref_feature, train)
 
 
 class Evaluation(nn.Module):
@@ -234,6 +209,7 @@ class Evaluation(nn.Module):
     def setup(self):
         self.pixel_wise_net = PixelwiseNet(dtype=self.dtype)
         self.similarity_net = SimilarityNet(dtype=self.dtype)
+        self.feature_weight_net = FeatureWeightNet(groups=self.groups, dtype=self.dtype)
 
     def __call__(
         self,
@@ -244,13 +220,21 @@ class Evaluation(nn.Module):
         depth_sample: jnp.ndarray,
         grid: jnp.ndarray,
         x_norm_img: jnp.ndarray,
-        feature_weight: jnp.ndarray,
+        feature_weight: Optional[jnp.ndarray],
         interval_scale: float,
         view_weights: Optional[jnp.ndarray],
         is_inverse: bool,
         train: bool = False,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (depth [B, H, W], score [B, H, W, D], view_weights [B, H, W, V])."""
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (depth [B, H, W], score [B, H, W, D],
+        view_weights [B, H, W, V], feature_weight [B, Ke, H, W]).
+
+        On the stage's first iteration (feature_weight is None) the
+        reference-feature neighbors needed by FeatureWeightNet (reference:
+        patchmatch.py:475, 615-617) are folded into the same eval-grid
+        gather as the depth-weight and cost channels — one gather per
+        iteration serves all three consumers, bit-identically (bilinear
+        sampling is linear over channels)."""
         b, h, w, c = ref_feature.shape
         g = self.groups
         num_depth = depth_sample.shape[1]
@@ -279,9 +263,41 @@ class Evaluation(nn.Module):
         similarity = similarity_sum / weight_sum  # [B, D, H, W, G] f32
         if self.dtype is not None:
             similarity = similarity.astype(self.dtype)
-        score = self.similarity_net(
-            similarity, grid, x_norm_img, feature_weight, interval_scale, train
-        )  # [B, H, W, D]
+        cost_img = self.similarity_net(similarity, train)  # [B, H, W, D]
+
+        # One joint gather at the eval grid: [ref features (first iteration
+        # only) | normalized inverse depth | cost].
+        ref_sg = jax.lax.stop_gradient(ref_feature)
+        if feature_weight is None:
+            joint = jnp.concatenate(
+                [ref_sg.astype(cost_img.dtype), x_norm_img.astype(cost_img.dtype), cost_img],
+                axis=-1,
+            )
+        else:
+            joint = jnp.concatenate(
+                [x_norm_img.astype(cost_img.dtype), cost_img], axis=-1
+            )
+        sampled = grid_sample_2d(
+            joint, grid, align_corners=False, padding_mode="border"
+        )  # [B, Ke, H, W, C? + 2D]
+
+        if feature_weight is None:
+            ref_smp = sampled[..., :c]
+            sampled = sampled[..., c:]
+            feature_weight = self.feature_weight_net.weights_from_neighbors(
+                ref_smp, ref_sg, train
+            )  # [B, Ke, H, W]
+        x_smp = sampled[..., :num_depth].astype(jnp.float32)
+        cost_smp = sampled[..., num_depth:].astype(jnp.float32)
+
+        # depth weight (reference: patchmatch.py:655-669), gradient-stopped
+        diff = jnp.abs(x_smp - x_norm_img[:, None]) / interval_scale
+        dw = jax.lax.stop_gradient(
+            jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
+        )
+        weight = dw * feature_weight[..., None]  # [B, Ke, H, W, D]
+        weight = weight / jnp.sum(weight, axis=1, keepdims=True)
+        score = jnp.sum(cost_smp * weight, axis=1)  # [B, H, W, D]
         score = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
 
         if view_weights is None:
@@ -302,7 +318,7 @@ class Evaluation(nn.Module):
             sample_img = jnp.transpose(depth_sample, (0, 2, 3, 1))  # [B, H, W, D]
             depth = jnp.sum(sample_img * score, axis=-1)
 
-        return depth, score, jax.lax.stop_gradient(view_weights)
+        return depth, score, jax.lax.stop_gradient(view_weights), feature_weight
 
 
 def _fixed_offsets(grid_type: str, neighbors: int, dilation: int) -> List[Tuple[int, int]]:
@@ -421,7 +437,6 @@ class PatchMatch(nn.Module):
             zero_init=True,
             dtype=self.dtype,
         )
-        self.feature_weight_net = FeatureWeightNet(groups=self.groups, dtype=self.dtype)
         self.evaluation = Evaluation(groups=self.groups, dtype=self.dtype)
 
     def __call__(
@@ -472,9 +487,7 @@ class PatchMatch(nn.Module):
             w,
         )
 
-        feature_weight = self.feature_weight_net(
-            jax.lax.stop_gradient(ref_feature), eval_grid, train
-        )  # [B, Ke, H, W]
+        feature_weight = None  # computed inside the first evaluation pass
 
         # Quad images: built once per source view, reused by every warp tap
         # across all iterations (see ops/quad_sample.py).
@@ -519,13 +532,17 @@ class PatchMatch(nn.Module):
                 jnp.transpose(x_norm, (0, 2, 3, 1))
             )  # [B, H, W, D]
 
-            depth, score, view_weights = self.evaluation(
+            # NOTE: eval_grid is NOT gradient-stopped — the reference
+            # back-propagates into eval_conv through the cost/feature-weight
+            # sampling (patchmatch.py:569-575, 615-617); only the depth-weight
+            # path is detached, which stop_gradient on dw already ensures.
+            depth, score, view_weights, feature_weight = self.evaluation(
                 ref_feature,
                 src_quads,
                 ref_proj,
                 src_projs,
                 depth_sample,
-                jax.lax.stop_gradient(eval_grid),
+                eval_grid,
                 x_norm_img,
                 feature_weight,
                 self.patchmatch_interval_scale,
