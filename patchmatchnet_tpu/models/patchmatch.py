@@ -19,6 +19,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from patchmatchnet_tpu.models.layers import (
     Conv2d,
@@ -30,6 +31,17 @@ from patchmatchnet_tpu.ops.quad_sample import make_quad_image
 from patchmatchnet_tpu.ops.warp import warp_quad
 
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
+
+
+def _group_mean_matrix(channels: int, groups: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[C, G] block-diagonal averaging matrix: group-wise mean as one MXU
+    matmul instead of a [..., G, C/G] reshape (which XLA repacks physically
+    for small minor dims)."""
+    cg = channels // groups
+    m = np.zeros((channels, groups), np.float32)
+    for g in range(groups):
+        m[g * cg : (g + 1) * cg, g] = 1.0 / cg
+    return jnp.asarray(m, dtype)
 
 
 def init_random_depth(
@@ -181,10 +193,9 @@ class FeatureWeightNet(nn.Module):
         neighbors; ref_feature: [B, H, W, C] -> [B, Ke, H, W]."""
         b, h, w, c = ref_feature.shape
         g = self.groups
-        ke = neighbors.shape[1]
-        neighbors = neighbors.reshape(b, ke, h, w, g, c // g)
-        ref = ref_feature.reshape(b, 1, h, w, g, c // g)
-        corr = jnp.mean(neighbors * ref, axis=-1)  # [B, Ke, H, W, G]
+        gm = _group_mean_matrix(c, g, neighbors.dtype)
+        prod = neighbors * ref_feature[:, None]  # [B, Ke, H, W, C]
+        corr = jnp.matmul(prod, gm, precision=jax.lax.Precision.HIGHEST)
         out = self.similarity(self.conv1(self.conv0(corr, train), train))
         return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))  # [B, Ke, H, W]
 
@@ -243,12 +254,15 @@ class Evaluation(nn.Module):
         weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=jnp.float32)
         similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=jnp.float32)
 
-        ref_grouped = ref_feature.reshape(b, 1, h, w, g, c // g)
+        gm = _group_mean_matrix(c, g, ref_feature.dtype)
+        ref_b = ref_feature[:, None]  # [B, 1, H, W, C]
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
             warped = warp_quad(src_quad, src_proj, ref_proj, depth_sample)
-            warped = warped.reshape(b, num_depth, h, w, g, c // g)
-            similarity = jnp.mean(warped * ref_grouped, axis=-1)  # [B, D, H, W, G]
+            warped = warped.reshape(b, num_depth, h, w, c)
+            similarity = jnp.matmul(
+                warped * ref_b, gm, precision=jax.lax.Precision.HIGHEST
+            )  # [B, D, H, W, G]
 
             if view_weights is None:
                 view_weight = self.pixel_wise_net(similarity, train)  # [B, H, W, 1]
