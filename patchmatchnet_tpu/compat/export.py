@@ -7,7 +7,7 @@ artifact with the weights baked in, loadable without the model source.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

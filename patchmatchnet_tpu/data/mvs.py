@@ -20,7 +20,7 @@ import os
 import random
 import threading
 import queue as queue_mod
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

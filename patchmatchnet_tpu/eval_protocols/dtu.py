@@ -24,7 +24,7 @@ ObsMask): ObsMask<set>_10.mat with ObsMask/BB/Res and Plane<set>.mat with P.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

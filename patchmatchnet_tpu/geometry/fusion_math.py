@@ -15,8 +15,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_HI = None
-
 
 def _hi():
     return jax.lax.Precision.HIGHEST

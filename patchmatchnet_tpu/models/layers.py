@@ -13,7 +13,7 @@ degenerate 3-D convolution.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
-from patchmatchnet_tpu.ops.quad_sample import QuadImage, quad_sample, quad_sample_corr
+from patchmatchnet_tpu.ops.quad_sample import (
+    QuadImage,
+    _gather_rows,
+    quad_coords,
+    quad_sample,
+    quad_sample_corr,
+)
 
 
 def warp_grid(
@@ -116,6 +122,28 @@ def warp_corr(
     return quad_sample_corr(
         src_quad, ix, iy, ref_feature, groups, num_depth, padding_mode="zeros"
     )
+
+
+def warp_taps(
+    src_quad: "QuadImage",
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+):
+    """Gather the 2x2 warp taps without combining them.
+
+    Returns (taps [B, P, 4C], w4 [B, P, 4]) with P = D*H*W ordered (d, h, w),
+    for consumption by the fused similarity kernel
+    (ops/pallas/similarity_kernel.py).
+    """
+    batch = depth_samples.shape[0]
+    grid = warp_grid(src_proj, ref_proj, depth_samples, src_quad.height, src_quad.width)
+    grid2 = grid.reshape(batch, -1, 2)
+    ix = (grid2[..., 0] + 1.0) * 0.5 * (src_quad.width - 1)
+    iy = (grid2[..., 1] + 1.0) * 0.5 * (src_quad.height - 1)
+    idx, w4 = quad_coords(src_quad, ix, iy, padding_mode="zeros")
+    taps = _gather_rows(src_quad, idx)
+    return taps, w4
 
 
 def warp_quad(

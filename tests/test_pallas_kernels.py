@@ -1,0 +1,60 @@
+"""Pallas kernel semantics vs the pure-jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchmatchnet_tpu.ops.pallas.similarity_kernel import (
+    _jnp_impl,
+    _rows_per_block,
+    warped_group_similarity,
+)
+
+
+@pytest.mark.parametrize("b,d,h,w,c,g", [(1, 4, 8, 12, 16, 4), (2, 3, 6, 10, 32, 8)])
+def test_similarity_kernel_matches_jnp(b, d, h, w, c, g):
+    rng = np.random.default_rng(0)
+    p = d * h * w
+    taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
+    w4 = jnp.asarray(rng.random((b, p, 4)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((b, h * w, c)), jnp.float32)
+    gm = np.zeros((c, g), np.float32)
+    cg = c // g
+    for gi in range(g):
+        gm[gi * cg : (gi + 1) * cg, gi] = 1.0 / cg
+    gm = jnp.asarray(gm)
+
+    out = warped_group_similarity(taps, w4, ref, gm, d, h, w)
+    expected = _jnp_impl(taps, w4, ref, gm, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_similarity_kernel_gradients():
+    """custom_vjp backward must equal the jnp-path gradients."""
+    rng = np.random.default_rng(1)
+    b, d, h, w, c, g = 1, 2, 4, 6, 8, 4
+    p = d * h * w
+    taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
+    w4 = jnp.asarray(rng.random((b, p, 4)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((b, h * w, c)), jnp.float32)
+    gm = jnp.asarray(np.ones((c, g), np.float32) / (c // g))
+
+    def loss_kernel(t, wq, r):
+        return warped_group_similarity(t, wq, r, gm, d, h, w).sum()
+
+    def loss_jnp(t, wq, r):
+        return _jnp_impl(t, wq, r, gm, d).sum()
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(taps, w4, ref)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(taps, w4, ref)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+def test_rows_per_block_divides():
+    for h in (7, 8, 27, 54, 108, 432):
+        rpb = _rows_per_block(h, 576, 256)
+        assert h % rpb == 0
+        assert rpb >= 1
