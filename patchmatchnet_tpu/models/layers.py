@@ -106,29 +106,74 @@ class ConvBnReLU(nn.Module):
         return nn.relu(x)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense-compatible naming (kernel [in, out],
+    optional bias [out]) so channel maps can be applied on ANY axis via
+    einsum without transposing the data."""
+
+    features: int
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init, (self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", torch_bias_init(self.in_features), (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _apply_channel_map(x, kernel, bias, channel_axis, dtype):
+    """x [..., C, ...] -> [..., F, ...] contracting `channel_axis` with kernel."""
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype) if bias is not None else None
+    ndim = x.ndim
+    axis = channel_axis % ndim
+    if axis == ndim - 1:
+        y = jnp.matmul(x, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+    # contract an interior channel axis without materializing a transpose
+    y = jnp.einsum("...c,ck->...k", jnp.moveaxis(x, axis, -1), kernel)
+    y = jnp.moveaxis(y, -1, axis)
+    if bias is not None:
+        shape = [1] * ndim
+        shape[axis] = -1
+        y = y + bias.reshape(shape)
+    return y
+
+
 class DenseBnReLU(nn.Module):
     """Per-position channel map + BatchNorm + ReLU.
 
     TPU-native equivalent of the reference's ConvBnReLU3D with 1x1x1 kernels
     (reference: module.py:43-72 as used in patchmatch.py:547-548, 597-598,
-    690-691): a Dense over the trailing channel axis of any [..., C] tensor.
+    690-691). `channel_axis` selects which axis holds the channels (-1 for
+    channels-last, 1 for channel-first volumes) — parameter shapes/paths are
+    identical either way.
     """
 
     features: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(
-            features=self.features,
-            use_bias=False,
-            kernel_init=torch_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, channel_axis: int = -1
+    ) -> jnp.ndarray:
+        cin = x.shape[channel_axis]
+        kernel, _ = _DenseParams(self.features, cin, False, name="conv")()
+        x = _apply_channel_map(x, kernel, None, channel_axis, self.dtype)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn"
+            axis=channel_axis, dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
 
@@ -140,16 +185,10 @@ class Dense1(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[-1]
-        return nn.Dense(
-            features=self.features,
-            use_bias=True,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init(in_ch),
-            dtype=self.dtype,
-            name="dense",
-        )(x)
+    def __call__(self, x: jnp.ndarray, channel_axis: int = -1) -> jnp.ndarray:
+        cin = x.shape[channel_axis]
+        kernel, bias = _DenseParams(self.features, cin, True, name="dense")()
+        return _apply_channel_map(x, kernel, bias, channel_axis, self.dtype)
 
 
 class ConvTranspose2dTorch(nn.Module):

@@ -28,7 +28,8 @@ from patchmatchnet_tpu.models.layers import (
 )
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
 from patchmatchnet_tpu.ops.quad_sample import make_quad_image
-from patchmatchnet_tpu.ops.warp import warp_quad
+from patchmatchnet_tpu.ops.pallas import warped_group_similarity
+from patchmatchnet_tpu.ops.warp import warp_taps
 
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
 
@@ -148,10 +149,19 @@ class PixelwiseNet(nn.Module):
         self.conv1 = DenseBnReLU(8, dtype=self.dtype)
         self.conv2 = Dense1(1, dtype=self.dtype)
 
-    def __call__(self, similarity: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """similarity: [B, D, H, W, G] -> weight [B, H, W, 1] (f32)."""
-        x = self.conv2(self.conv1(self.conv0(similarity, train), train))
-        x = jax.nn.sigmoid(x[..., 0].astype(jnp.float32))  # [B, D, H, W]
+    def __call__(
+        self, similarity: jnp.ndarray, train: bool = False, channel_first: bool = False
+    ) -> jnp.ndarray:
+        """similarity: [B, D, H, W, G] (or [B, G, D, H, W] when channel_first)
+        -> weight [B, H, W, 1] (f32)."""
+        if channel_first:
+            x = self.conv0(similarity, train, channel_axis=1)
+            x = self.conv1(x, train, channel_axis=1)
+            x = self.conv2(x, channel_axis=1)  # [B, 1, D, H, W]
+            x = jax.nn.sigmoid(x[:, 0].astype(jnp.float32))  # [B, D, H, W]
+        else:
+            x = self.conv2(self.conv1(self.conv0(similarity, train), train))
+            x = jax.nn.sigmoid(x[..., 0].astype(jnp.float32))  # [B, D, H, W]
         return jnp.max(x, axis=1)[..., None]  # [B, H, W, 1]
 
 
@@ -167,8 +177,16 @@ class SimilarityNet(nn.Module):
         self.conv1 = DenseBnReLU(8, dtype=self.dtype)
         self.similarity = Dense1(1, dtype=self.dtype)
 
-    def __call__(self, x1: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x1: [B, D, H, W, G] -> cost image [B, H, W, D]."""
+    def __call__(
+        self, x1: jnp.ndarray, train: bool = False, channel_first: bool = False
+    ) -> jnp.ndarray:
+        """x1: [B, D, H, W, G] (or [B, G, D, H, W] when channel_first)
+        -> cost image [B, H, W, D]."""
+        if channel_first:
+            x = self.conv0(x1, train, channel_axis=1)
+            x = self.conv1(x, train, channel_axis=1)
+            cost = self.similarity(x, channel_axis=1)[:, 0]  # [B, D, H, W]
+            return jnp.transpose(cost, (0, 2, 3, 1))
         cost = self.similarity(self.conv1(self.conv0(x1, train), train))[..., 0]
         return jnp.transpose(cost, (0, 2, 3, 1))
 
@@ -250,34 +268,39 @@ class Evaluation(nn.Module):
         g = self.groups
         num_depth = depth_sample.shape[1]
 
-        # accumulate across views in f32 even when features are bf16
+        # Channel-first similarity volumes [B, G, D, H, W]: G (4..8) as a
+        # minor dim would tile at 8/128 lanes; with W minor they pack densely.
+        # Accumulate across views in f32 even when features are bf16.
         weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=jnp.float32)
-        similarity_sum = jnp.zeros((b, num_depth, h, w, g), dtype=jnp.float32)
+        similarity_sum = jnp.zeros((b, g, num_depth, h, w), dtype=jnp.float32)
 
         gm = _group_mean_matrix(c, g, ref_feature.dtype)
-        ref_b = ref_feature[:, None]  # [B, 1, H, W, C]
+        ref_flat = ref_feature.reshape(b, h * w, c)
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
-            warped = warp_quad(src_quad, src_proj, ref_proj, depth_sample)
-            warped = warped.reshape(b, num_depth, h, w, c)
-            similarity = jnp.matmul(
-                warped * ref_b, gm, precision=jax.lax.Precision.HIGHEST
-            )  # [B, D, H, W, G]
+            taps, w4 = warp_taps(src_quad, src_proj, ref_proj, depth_sample)
+            similarity = warped_group_similarity(
+                taps, w4, ref_flat, gm, num_depth, h, w
+            ).reshape(b, g, num_depth, h, w)
 
             if view_weights is None:
-                view_weight = self.pixel_wise_net(similarity, train)  # [B, H, W, 1]
+                view_weight = self.pixel_wise_net(
+                    similarity, train, channel_first=True
+                )  # [B, H, W, 1]
                 new_view_weights.append(view_weight)
             else:
                 view_weight = view_weights[..., i : i + 1]  # [B, H, W, 1]
 
-            vw = view_weight[:, None]  # [B, 1, H, W, 1]
+            vw = jnp.moveaxis(view_weight, -1, 1)[:, :, None]  # [B, 1, 1, H, W]
             similarity_sum = similarity_sum + similarity.astype(jnp.float32) * vw
             weight_sum = weight_sum + vw
 
-        similarity = similarity_sum / weight_sum  # [B, D, H, W, G] f32
+        similarity = similarity_sum / weight_sum  # [B, G, D, H, W] f32
         if self.dtype is not None:
             similarity = similarity.astype(self.dtype)
-        cost_img = self.similarity_net(similarity, train)  # [B, H, W, D]
+        cost_img = self.similarity_net(
+            similarity, train, channel_first=True
+        )  # [B, H, W, D]
 
         # One joint gather at the eval grid: [ref features (first iteration
         # only) | normalized inverse depth | cost].

@@ -27,6 +27,7 @@ def test_similarity_kernel_matches_jnp(b, d, h, w, c, g):
     gm = jnp.asarray(gm)
 
     out = warped_group_similarity(taps, w4, ref, gm, d, h, w)
+    assert out.shape == (b, g, p)
     expected = _jnp_impl(taps, w4, ref, gm, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
 
@@ -55,6 +56,6 @@ def test_similarity_kernel_gradients():
 
 def test_rows_per_block_divides():
     for h in (7, 8, 27, 54, 108, 432):
-        rpb = _rows_per_block(h, 576, 256)
+        rpb = _rows_per_block(h, 576, 256, 64)
         assert h % rpb == 0
         assert rpb >= 1
