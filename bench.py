@@ -91,49 +91,41 @@ def main():
         )
         return depth, confidence
 
-    # Timing strategy: chain `iters` forward passes on-device inside one
-    # fori_loop (each iteration's init noise perturbed by the previous
-    # iteration's mean depth). This defeats both host<->device tunnel latency
-    # and any runtime-level caching of identical dispatches, measuring pure
-    # chip throughput. The final scalar is pulled to host to force completion.
+    # Timing strategy: sequential blocked calls, each with a DISTINCT
+    # pre-staged noise buffer (the runtime result-caches identical
+    # dispatches). Per-call blocking includes some host<->device round-trip
+    # latency, so the reported throughput is a conservative lower bound.
     import numpy as np
-    from functools import partial
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def chained(images, intrinsics, extrinsics, depth_min, depth_max, noise, iters):
-        def body(_, carry):
-            nz, acc = carry
-            depth, confidence = forward(
-                images, intrinsics, extrinsics, depth_min, depth_max, nz
-            )
-            bump = 1e-9 * jnp.mean(depth)
-            return nz + bump, acc + jnp.mean(confidence)
-
-        _, acc = jax.lax.fori_loop(0, iters, body, (noise, jnp.float32(0)))
-        return acc
-
+    jit_forward = jax.jit(forward)
     inputs = jax.tree.map(
         jnp.asarray, build_inputs(args.batch, args.num_views, args.height, args.width)
     )
-    jax.block_until_ready(inputs)
+    noises = [
+        jnp.asarray(
+            np.random.default_rng(100 + s).random(np.asarray(inputs[-1]).shape),
+            jnp.float32,
+        )
+        for s in range(args.warmup + args.iters)
+    ]
+    jax.block_until_ready((inputs, noises))
 
     if args.verbose:
         print(f"devices: {jax.devices()}", file=sys.stderr)
 
     t_compile = time.perf_counter()
-    np.asarray(chained(*inputs, iters=args.iters))  # compile + first run
+    jax.block_until_ready(jit_forward(*inputs))
     compile_s = time.perf_counter() - t_compile
 
-    # Fresh noise buffer so the timed dispatch can't hit any runtime-level
-    # result cache for identical calls.
-    noise2 = jnp.asarray(
-        np.random.default_rng(123).random(np.asarray(inputs[-1]).shape), jnp.float32
-    )
-    jax.block_until_ready(noise2)
+    for i in range(args.warmup):
+        jax.block_until_ready(jit_forward(*inputs[:-1], noises[i]))
 
-    start = time.perf_counter()
-    np.asarray(chained(*inputs[:-1], noise2, iters=args.iters))
-    elapsed = time.perf_counter() - start
+    times = []
+    for i in range(args.iters):
+        start = time.perf_counter()
+        jax.block_until_ready(jit_forward(*inputs[:-1], noises[args.warmup + i]))
+        times.append(time.perf_counter() - start)
+    elapsed = float(np.median(times)) * args.iters
 
     per_map = elapsed / (args.iters * args.batch)
     mpix_s = args.height * args.width / 1e6 / per_map

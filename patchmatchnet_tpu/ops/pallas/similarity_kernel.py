@@ -51,17 +51,19 @@ def _jnp_impl(taps, w4, ref, gm, num_depth):
     ).reshape(b, gm.shape[1], p)
 
 
-def _rows_per_block(height: int, width: int, c4: int, c: int) -> int:
-    """Largest divisor of `height` fitting the double-buffered VMEM budget."""
+def _tile_rows(hwp: int, c4: int, c: int) -> int:
+    """Largest multiple of 128 dividing hwp that fits the double-buffered
+    VMEM budget (Mosaic requires minor block dims divisible by 128)."""
     c4_pad = max(c4, 128)
     c_pad = max(c, 128)
     # bytes per point-row in VMEM: taps + w4 (4 -> 128 lanes) + ref + out
     row_bytes = (c4_pad + 128 + c_pad + 8) * 4 * 2
-    budget_rows = max(1, _VMEM_BUDGET // (width * row_bytes))
-    rows = min(height, budget_rows)
-    while height % rows:
-        rows -= 1
-    return rows
+    budget = max(1, _VMEM_BUDGET // row_bytes // 128)
+    m = hwp // 128
+    k = min(m, budget)
+    while m % k:
+        k -= 1
+    return 128 * k
 
 
 def _kernel(taps_ref, w4_ref, ref_ref, gm_ref, out_ref):
@@ -90,15 +92,27 @@ def _pallas_impl(taps, w4, ref, gm, num_depth, height, width):
     c = ref.shape[-1]
     g = gm.shape[1]
     hw = height * width
-    rpb = _rows_per_block(height, width, c4, c)
-    tile = rpb * width
-    nj = hw // tile
+    # Pad every depth slice to a multiple of 128 points (Mosaic block
+    # divisibility); pad rows carry zeros and are sliced away afterwards.
+    hwp = -(-hw // 128) * 128
+    if hwp != hw:
+        padw = ((0, 0), (0, 0), (0, hwp - hw), (0, 0))
+        taps = jnp.pad(taps.reshape(b, num_depth, hw, c4), padw).reshape(
+            b, num_depth * hwp, c4
+        )
+        w4 = jnp.pad(w4.reshape(b, num_depth, hw, 4), padw).reshape(
+            b, num_depth * hwp, 4
+        )
+        ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
+
+    tile = _tile_rows(hwp, c4, c)
+    nj = hwp // tile
     grid = (b, num_depth, nj)
     interpret = jax.default_backend() == "cpu"
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, num_depth * hwp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -123,6 +137,9 @@ def _pallas_impl(taps, w4, ref, gm, num_depth, height, width):
         ),
         interpret=interpret,
     )(taps, w4, ref, gm)
+    if hwp != hw:
+        out = out.reshape(b, g, num_depth, hwp)[..., :hw].reshape(b, g, p)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

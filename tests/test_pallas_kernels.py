@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from patchmatchnet_tpu.ops.pallas.similarity_kernel import (
     _jnp_impl,
-    _rows_per_block,
+    _tile_rows,
     warped_group_similarity,
 )
 
@@ -54,8 +54,8 @@ def test_similarity_kernel_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
 
 
-def test_rows_per_block_divides():
-    for h in (7, 8, 27, 54, 108, 432):
-        rpb = _rows_per_block(h, 576, 256, 64)
-        assert h % rpb == 0
-        assert rpb >= 1
+def test_tile_rows_divides():
+    for hw in (128, 15616, 62336, 248832 // 128 * 128 + 128):
+        t = _tile_rows(hw, 256, 64)
+        assert hw % t == 0
+        assert t % 128 == 0
