@@ -275,13 +275,20 @@ class Evaluation(nn.Module):
         similarity_sum = jnp.zeros((b, g, num_depth, h, w), dtype=jnp.float32)
 
         gm = _group_mean_matrix(c, g, ref_feature.dtype)
-        ref_flat = ref_feature.reshape(b, h * w, c)
+        hw = h * w
+        hwp = -(-hw // 128) * 128  # depth slices padded for the fused kernel
+        ref_flat = ref_feature.reshape(b, hw, c)
+        if hwp != hw:
+            ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
-            taps, w4 = warp_taps(src_quad, src_proj, ref_proj, depth_sample)
-            similarity = warped_group_similarity(
-                taps, w4, ref_flat, gm, num_depth, h, w
-            ).reshape(b, g, num_depth, h, w)
+            taps, w4, _ = warp_taps(
+                src_quad, src_proj, ref_proj, depth_sample, pad_to=128
+            )
+            sim_p = warped_group_similarity(taps, w4, ref_flat, gm, num_depth)
+            similarity = sim_p.reshape(b, g, num_depth, hwp)[..., :hw].reshape(
+                b, g, num_depth, h, w
+            )
 
             if view_weights is None:
                 view_weight = self.pixel_wise_net(

@@ -35,7 +35,8 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # total VMEM target incl. double buffering
 
 
 def _jnp_impl(taps, w4, ref, gm, num_depth):
-    """Reference implementation: [B,P,4C],[B,P,4],[B,HW,C],[C,G] -> [B,G,P]."""
+    """Reference implementation: [B,P,4C],[B,P,4],[B,HW,C],[C,G] -> [B,G,P].
+    P must equal num_depth * ref.shape[1]."""
     b, p, c4 = taps.shape
     c = c4 // 4
     hw = ref.shape[1]
@@ -87,32 +88,24 @@ def _kernel(taps_ref, w4_ref, ref_ref, gm_ref, out_ref):
     )
 
 
-def _pallas_impl(taps, w4, ref, gm, num_depth, height, width):
+def _pallas_impl(taps, w4, ref, gm, num_depth):
+    """Inputs must already have every depth slice padded to a multiple of
+    128 points (see warp_taps(pad_to=128)); ref is padded to match."""
     b, p, c4 = taps.shape
     c = ref.shape[-1]
     g = gm.shape[1]
-    hw = height * width
-    # Pad every depth slice to a multiple of 128 points (Mosaic block
-    # divisibility); pad rows carry zeros and are sliced away afterwards.
-    hwp = -(-hw // 128) * 128
-    if hwp != hw:
-        padw = ((0, 0), (0, 0), (0, hwp - hw), (0, 0))
-        taps = jnp.pad(taps.reshape(b, num_depth, hw, c4), padw).reshape(
-            b, num_depth * hwp, c4
-        )
-        w4 = jnp.pad(w4.reshape(b, num_depth, hw, 4), padw).reshape(
-            b, num_depth * hwp, 4
-        )
-        ref = jnp.pad(ref, ((0, 0), (0, hwp - hw), (0, 0)))
+    hwp = p // num_depth
+    assert hwp % 128 == 0, "pad depth slices to 128-point multiples"
+    assert ref.shape[1] == hwp
 
     tile = _tile_rows(hwp, c4, c)
     nj = hwp // tile
     grid = (b, num_depth, nj)
     interpret = jax.default_backend() == "cpu"
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((b, g, num_depth * hwp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, p), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -137,27 +130,28 @@ def _pallas_impl(taps, w4, ref, gm, num_depth, height, width):
         ),
         interpret=interpret,
     )(taps, w4, ref, gm)
-    if hwp != hw:
-        out = out.reshape(b, g, num_depth, hwp)[..., :hw].reshape(b, g, p)
-    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def warped_group_similarity(taps, w4, ref, gm, num_depth, height, width):
-    """Fused similarity: taps [B, P, 4C], w4 [B, P, 4], ref [B, HW, C],
-    gm [C, G] -> [B, G, P] (channel-first), with P = num_depth*height*width
-    ordered (d, h, w)."""
-    if os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS"):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def warped_group_similarity(taps, w4, ref, gm, num_depth):
+    """Fused similarity: taps [B, P, 4C], w4 [B, P, 4], ref [B, HWP, C],
+    gm [C, G] -> [B, G, P] (channel-first), with P = num_depth * HWP ordered
+    (d, h, w). HWP must be a multiple of 128 for the Pallas path (use
+    warp_taps(pad_to=128))."""
+    if (
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or (taps.shape[1] // num_depth) % 128 != 0
+    ):
         return _jnp_impl(taps, w4, ref, gm, num_depth)
-    return _pallas_impl(taps, w4, ref, gm, num_depth, height, width)
+    return _pallas_impl(taps, w4, ref, gm, num_depth)
 
 
-def _fwd(taps, w4, ref, gm, num_depth, height, width):
-    out = warped_group_similarity(taps, w4, ref, gm, num_depth, height, width)
+def _fwd(taps, w4, ref, gm, num_depth):
+    out = warped_group_similarity(taps, w4, ref, gm, num_depth)
     return out, (taps, w4, ref, gm)
 
 
-def _bwd(num_depth, height, width, residuals, grad_out):
+def _bwd(num_depth, residuals, grad_out):
     taps, w4, ref, gm = residuals
     _, vjp = jax.vjp(
         lambda t, w, r, m: _jnp_impl(t, w, r, m, num_depth), taps, w4, ref, gm

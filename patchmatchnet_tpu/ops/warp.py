@@ -129,21 +129,30 @@ def warp_taps(
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
     depth_samples: jnp.ndarray,
+    pad_to: int = 1,
 ):
     """Gather the 2x2 warp taps without combining them.
 
-    Returns (taps [B, P, 4C], w4 [B, P, 4]) with P = D*H*W ordered (d, h, w),
-    for consumption by the fused similarity kernel
+    Returns (taps [B, P', 4C], w4 [B, P', 4], hwp) with P' = D * hwp ordered
+    (d, h, w), where hwp is H*W rounded up to a multiple of `pad_to`
+    (padding COORDINATES before the gather is free compared to re-copying
+    the wide taps array afterwards). For the fused similarity kernel
     (ops/pallas/similarity_kernel.py).
     """
-    batch = depth_samples.shape[0]
+    batch, num_depth, height, width = depth_samples.shape
+    hw = height * width
+    hwp = -(-hw // pad_to) * pad_to
     grid = warp_grid(src_proj, ref_proj, depth_samples, src_quad.height, src_quad.width)
     grid2 = grid.reshape(batch, -1, 2)
     ix = (grid2[..., 0] + 1.0) * 0.5 * (src_quad.width - 1)
     iy = (grid2[..., 1] + 1.0) * 0.5 * (src_quad.height - 1)
+    if hwp != hw:
+        padw = ((0, 0), (0, 0), (0, hwp - hw))
+        ix = jnp.pad(ix.reshape(batch, num_depth, hw), padw).reshape(batch, -1)
+        iy = jnp.pad(iy.reshape(batch, num_depth, hw), padw).reshape(batch, -1)
     idx, w4 = quad_coords(src_quad, ix, iy, padding_mode="zeros")
     taps = _gather_rows(src_quad, idx)
-    return taps, w4
+    return taps, w4, hwp
 
 
 def warp_quad(

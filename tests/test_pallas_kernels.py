@@ -13,8 +13,9 @@ from patchmatchnet_tpu.ops.pallas.similarity_kernel import (
 )
 
 
-@pytest.mark.parametrize("b,d,h,w,c,g", [(1, 4, 8, 12, 16, 4), (2, 3, 6, 10, 32, 8)])
+@pytest.mark.parametrize("b,d,h,w,c,g", [(1, 4, 8, 16, 16, 4), (2, 3, 8, 32, 32, 8)])
 def test_similarity_kernel_matches_jnp(b, d, h, w, c, g):
+    # h*w multiples of 128 exercise the Pallas path (interpret mode on CPU)
     rng = np.random.default_rng(0)
     p = d * h * w
     taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
@@ -26,7 +27,7 @@ def test_similarity_kernel_matches_jnp(b, d, h, w, c, g):
         gm[gi * cg : (gi + 1) * cg, gi] = 1.0 / cg
     gm = jnp.asarray(gm)
 
-    out = warped_group_similarity(taps, w4, ref, gm, d, h, w)
+    out = warped_group_similarity(taps, w4, ref, gm, d)
     assert out.shape == (b, g, p)
     expected = _jnp_impl(taps, w4, ref, gm, d)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
@@ -43,7 +44,7 @@ def test_similarity_kernel_gradients():
     gm = jnp.asarray(np.ones((c, g), np.float32) / (c // g))
 
     def loss_kernel(t, wq, r):
-        return warped_group_similarity(t, wq, r, gm, d, h, w).sum()
+        return warped_group_similarity(t, wq, r, gm, d).sum()
 
     def loss_jnp(t, wq, r):
         return _jnp_impl(t, wq, r, gm, d).sum()
