@@ -34,7 +34,8 @@ def raw_dtu(tmp_path_factory):
             [425.0, 935.0],
         )
         for light in range(7):
-            img = rng.random((1200, 1600, 3)).astype(np.float32)
+            # preprocessed DTU training images are 640x512
+            img = rng.random((512, 640, 3)).astype(np.float32)
             save_image(
                 os.path.join(
                     root, f"Rectified/{scan}_train/rect_{v + 1:03d}_{light}_r5000.png"
@@ -70,7 +71,9 @@ def test_legacy_dataset(raw_dtu):
     ds = DTULegacyDataset(root, list_file, num_views=3)
     assert len(ds) == 3 * 7  # views x light indexes
     s = ds[0]
-    assert s["images"].shape == (3, 1200, 1600, 3)
+    assert s["images"].shape == (3, 512, 640, 3)
+    # image resolution matches the prepared GT resolution (training-ready)
+    assert s["images"].shape[1:3] == s["depth_gt"].shape
     # intrinsics upscaled x4
     assert s["intrinsics"][0][0, 0] == pytest.approx(360.0 * 4)
     assert s["depth_gt"].shape == (512, 640)
@@ -87,6 +90,6 @@ def test_legacy_dataset_with_loader(raw_dtu):
     ds = DTULegacyDataset(root, list_file, num_views=2)
     loader = BatchLoader(ds, batch_size=2, adjust=True, num_threads=1)
     batch = next(iter(loader))
-    # 1200x1600 already multiples of 8
-    assert batch["images"].shape == (2, 2, 1200, 1600, 3)
+    # 512x640 already multiples of 8
+    assert batch["images"].shape == (2, 2, 512, 640, 3)
     assert batch["depth_gt"].shape == (2, 512, 640)
