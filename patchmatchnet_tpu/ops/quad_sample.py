@@ -155,41 +155,3 @@ def quad_sample(
         + taps[..., 2 * c : 3 * c] * w4[..., 2:3]
         + taps[..., 3 * c : 4 * c] * w4[..., 3:4]
     )
-
-
-def quad_sample_corr(
-    quad: QuadImage,
-    ix: jnp.ndarray,
-    iy: jnp.ndarray,
-    ref_feature: jnp.ndarray,
-    groups: int,
-    num_depth: int,
-    *,
-    padding_mode: str = "zeros",
-) -> jnp.ndarray:
-    """Fused bilinear warp + group-wise correlation.
-
-    Computes mean over C/G of (bilinear_sample(quad) * ref) without ever
-    materializing the [P, C] warped features — the gather output feeds the
-    correlation reduction directly (the hottest pattern of PatchMatch
-    evaluation; reference: patchmatch.py:199-203).
-
-    Args:
-        ix / iy: [B, P] sample coords with P = D * H * W ordered (d, h, w).
-        ref_feature: [B, H, W, C] reference features.
-        groups: G. num_depth: D.
-    Returns:
-        similarity [B, D, H, W, G].
-    """
-    b, h, w, c = ref_feature.shape
-    g = groups
-    cg = c // g
-    idx, w4 = quad_coords(quad, ix, iy, padding_mode=padding_mode)
-    taps = _gather_rows(quad, idx)  # [B, P, 4C]
-    taps = taps.reshape(b, num_depth, h * w, 4, g, cg)
-    ref = ref_feature.reshape(b, 1, h * w, 1, g, cg)
-    # mean over Cg, then the (linear) bilinear combination over the 4 taps
-    per_tap = jnp.mean(taps * ref, axis=-1)  # [B, D, HW, 4, G]
-    w4 = w4.reshape(b, num_depth, h * w, 4, 1).astype(per_tap.dtype)
-    corr = jnp.sum(per_tap * w4, axis=3)  # [B, D, HW, G]
-    return corr.reshape(b, num_depth, h, w, g)

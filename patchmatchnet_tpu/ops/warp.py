@@ -19,7 +19,6 @@ from patchmatchnet_tpu.ops.quad_sample import (
     _gather_rows,
     quad_coords,
     quad_sample,
-    quad_sample_corr,
 )
 
 
@@ -96,32 +95,6 @@ def differentiable_warp(
     src_h, src_w = src_fea.shape[1], src_fea.shape[2]
     grid = warp_grid(src_proj, ref_proj, depth_samples, src_h, src_w)
     return grid_sample_2d(src_fea, grid, align_corners=True, padding_mode="zeros")
-
-
-def warp_corr(
-    src_quad: "QuadImage",
-    src_proj: jnp.ndarray,
-    ref_proj: jnp.ndarray,
-    depth_samples: jnp.ndarray,
-    ref_feature: jnp.ndarray,
-    groups: int,
-) -> jnp.ndarray:
-    """Fused homography warp + group-wise correlation against the reference
-    features (never materializes warped features; see quad_sample_corr).
-
-    Args:
-        depth_samples: [B, D, H, W]; ref_feature: [B, H, W, C].
-    Returns:
-        similarity [B, D, H, W, G].
-    """
-    batch, num_depth = depth_samples.shape[:2]
-    grid = warp_grid(src_proj, ref_proj, depth_samples, src_quad.height, src_quad.width)
-    grid2 = grid.reshape(batch, -1, 2)
-    ix = (grid2[..., 0] + 1.0) * 0.5 * (src_quad.width - 1)
-    iy = (grid2[..., 1] + 1.0) * 0.5 * (src_quad.height - 1)
-    return quad_sample_corr(
-        src_quad, ix, iy, ref_feature, groups, num_depth, padding_mode="zeros"
-    )
 
 
 def warp_taps(
