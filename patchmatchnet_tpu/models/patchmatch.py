@@ -255,7 +255,14 @@ class Evaluation(nn.Module):
         is_inverse: bool,
         train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (depth [B, H, W], score [B, H, W, D],
+        """Adaptive evaluation over precomputed source quad tables.
+
+        Args:
+            ref_feature: [B, H, W, C].
+            src_features: V precomputed QuadImage tables of the source-view
+                features (see ops.quad_sample.make_quad_image).
+
+        Returns (depth [B, H, W], score [B, H, W, D],
         view_weights [B, H, W, V], feature_weight [B, Ke, H, W]).
 
         On the stage's first iteration (feature_weight is None) the
