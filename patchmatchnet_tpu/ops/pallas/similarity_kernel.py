@@ -69,7 +69,9 @@ def _tile_rows(hwp: int, c4: int, c: int) -> int:
 
 def _kernel(taps_ref, w4_ref, ref_ref, gm_ref, out_ref):
     taps = taps_ref[0]  # [T, 4C]
-    w4 = w4_ref[0]  # [T, 4]
+    # w4 arrives transposed [4, T] so its VMEM block is lane-dense (a
+    # [T, 4] block would pad 4 -> 128 lanes and double input traffic).
+    w4 = jnp.transpose(w4_ref[0])  # [T, 4]
     ref = ref_ref[0]  # [T, C]
     c = ref.shape[-1]
     warped = (
@@ -98,6 +100,7 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
     assert hwp % 128 == 0, "pad depth slices to 128-point multiples"
     assert ref.shape[1] == hwp
 
+    w4t = jnp.swapaxes(w4, 1, 2)  # [B, 4, P] lane-dense block layout
     tile = _tile_rows(hwp, c4, c)
     nj = hwp // tile
     grid = (b, num_depth, nj)
@@ -114,8 +117,8 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, 4),
-                lambda bi, d, j: (bi, d * nj + j, 0),
+                (1, 4, tile),
+                lambda bi, d, j: (bi, 0, d * nj + j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -129,7 +132,7 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(taps, w4, ref, gm)
+    )(taps, w4t, ref, gm)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
