@@ -181,7 +181,10 @@ class PatchmatchNet(nn.Module):
             jnp.arange(num_depth, dtype=score.dtype) * score, axis=-1
         )
         index = jnp.clip(index.astype(jnp.int32), 0, num_depth - 1)
-        confidence = jnp.take_along_axis(score_sum4, index[..., None], axis=-1)[..., 0]
+        # dense one-hot pick over the tiny D axis (a gather here costs
+        # per-index; 8 selects are ~free on the VPU)
+        onehot = index[..., None] == jnp.arange(num_depth, dtype=jnp.int32)
+        confidence = jnp.sum(score_sum4 * onehot.astype(score_sum4.dtype), axis=-1)
         confidence = upsample_nearest_x2(confidence[..., None])[..., 0]
         return depth, confidence, depth_patchmatch
 
