@@ -35,16 +35,16 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # total VMEM target incl. double buffering
 
 
 def _jnp_impl(taps, w4, ref, gm, num_depth):
-    """Reference implementation: [B,P,4C],[B,P,4],[B,HW,C],[C,G] -> [B,G,P].
+    """Reference implementation: [B,P,4C],[B,4,P],[B,HW,C],[C,G] -> [B,G,P].
     P must equal num_depth * ref.shape[1]."""
     b, p, c4 = taps.shape
     c = c4 // 4
     hw = ref.shape[1]
     warped = (
-        taps[..., 0 * c : 1 * c] * w4[..., 0:1]
-        + taps[..., 1 * c : 2 * c] * w4[..., 1:2]
-        + taps[..., 2 * c : 3 * c] * w4[..., 2:3]
-        + taps[..., 3 * c : 4 * c] * w4[..., 3:4]
+        taps[..., 0 * c : 1 * c] * w4[:, 0, :, None]
+        + taps[..., 1 * c : 2 * c] * w4[:, 1, :, None]
+        + taps[..., 2 * c : 3 * c] * w4[:, 2, :, None]
+        + taps[..., 3 * c : 4 * c] * w4[:, 3, :, None]
     )
     prod = warped.reshape(b, num_depth, hw, c) * ref[:, None]
     return jnp.einsum(
@@ -100,7 +100,6 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
     assert hwp % 128 == 0, "pad depth slices to 128-point multiples"
     assert ref.shape[1] == hwp
 
-    w4t = jnp.swapaxes(w4, 1, 2)  # [B, 4, P] lane-dense block layout
     tile = _tile_rows(hwp, c4, c)
     nj = hwp // tile
     grid = (b, num_depth, nj)
@@ -132,12 +131,12 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
-    )(taps, w4t, ref, gm)
+    )(taps, w4, ref, gm)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def warped_group_similarity(taps, w4, ref, gm, num_depth):
-    """Fused similarity: taps [B, P, 4C], w4 [B, P, 4], ref [B, HWP, C],
+    """Fused similarity: taps [B, P, 4C], w4 [B, 4, P], ref [B, HWP, C],
     gm [C, G] -> [B, G, P] (channel-first), with P = num_depth * HWP ordered
     (d, h, w). HWP must be a multiple of 128 for the Pallas path (use
     warp_taps(pad_to=128))."""

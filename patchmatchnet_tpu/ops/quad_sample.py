@@ -82,7 +82,9 @@ def quad_coords(
         ix / iy: [B, P] unnormalized pixel coordinates.
     Returns:
         (idx [B, P] int32 — always in-bounds of quad.data rows,
-         w4 [B, P, 4] tap weights, zeroed for invalid taps in zeros mode).
+         w4 [B, 4, P] tap weights (tap-major so the array is lane-dense —
+         a [P, 4] layout would tile 4 -> 128 lanes), zeroed for invalid
+         taps in zeros mode).
     """
     h, w = quad.height, quad.width
     dtype = weight_dtype or quad.data.dtype
@@ -95,7 +97,7 @@ def quad_coords(
         wy = (iy - y0).astype(dtype)
         idx = y0 * w + x0
         w4 = jnp.stack(
-            [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
+            [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=1
         )
         return idx, w4
 
@@ -120,7 +122,7 @@ def quad_coords(
             (1 - wx) * wy * x0v * y1v,
             wx * wy * x1v * y1v,
         ],
-        axis=-1,
+        axis=1,
     )
     return idx, w4
 
@@ -150,8 +152,8 @@ def quad_sample(
     idx, w4 = quad_coords(quad, ix, iy, padding_mode=padding_mode)
     taps = _gather_rows(quad, idx)  # [B, P, 4C]
     return (
-        taps[..., 0 * c : 1 * c] * w4[..., 0:1]
-        + taps[..., 1 * c : 2 * c] * w4[..., 1:2]
-        + taps[..., 2 * c : 3 * c] * w4[..., 2:3]
-        + taps[..., 3 * c : 4 * c] * w4[..., 3:4]
+        taps[..., 0 * c : 1 * c] * w4[:, 0, :, None]
+        + taps[..., 1 * c : 2 * c] * w4[:, 1, :, None]
+        + taps[..., 2 * c : 3 * c] * w4[:, 2, :, None]
+        + taps[..., 3 * c : 4 * c] * w4[:, 3, :, None]
     )

@@ -106,7 +106,7 @@ def warp_taps(
 ):
     """Gather the 2x2 warp taps without combining them.
 
-    Returns (taps [B, P', 4C], w4 [B, P', 4], hwp) with P' = D * hwp ordered
+    Returns (taps [B, P', 4C], w4 [B, 4, P'], hwp) with P' = D * hwp ordered
     (d, h, w), where hwp is H*W rounded up to a multiple of `pad_to`
     (padding COORDINATES before the gather is free compared to re-copying
     the wide taps array afterwards). For the fused similarity kernel

@@ -19,7 +19,7 @@ def test_similarity_kernel_matches_jnp(b, d, h, w, c, g):
     rng = np.random.default_rng(0)
     p = d * h * w
     taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
-    w4 = jnp.asarray(rng.random((b, p, 4)), jnp.float32)
+    w4 = jnp.asarray(rng.random((b, 4, p)), jnp.float32)
     ref = jnp.asarray(rng.standard_normal((b, h * w, c)), jnp.float32)
     gm = np.zeros((c, g), np.float32)
     cg = c // g
@@ -39,7 +39,7 @@ def test_similarity_kernel_gradients():
     b, d, h, w, c, g = 1, 2, 4, 6, 8, 4
     p = d * h * w
     taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
-    w4 = jnp.asarray(rng.random((b, p, 4)), jnp.float32)
+    w4 = jnp.asarray(rng.random((b, 4, p)), jnp.float32)
     ref = jnp.asarray(rng.standard_normal((b, h * w, c)), jnp.float32)
     gm = jnp.asarray(np.ones((c, g), np.float32) / (c // g))
 
