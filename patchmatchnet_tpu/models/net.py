@@ -117,7 +117,20 @@ class PatchmatchNet(nn.Module):
         depth_max = depth_max.astype(jnp.float32).reshape(batch)
 
         # Step 1: multi-scale features per view.
-        features = [self.feature(images[:, v], train) for v in range(num_views)]
+        if train:
+            # per-view calls so BatchNorm batch statistics match the
+            # reference's per-view FeatureNet invocations (net.py:204-206)
+            features = [self.feature(images[:, v], train) for v in range(num_views)]
+        else:
+            # inference uses running stats -> fold views into the batch for
+            # one large conv pass (better MXU utilization)
+            stacked = self.feature(
+                images.reshape(batch * num_views, height, width, 3), False
+            )
+            features = [
+                {k: v.reshape(batch, num_views, *v.shape[1:])[:, i] for k, v in stacked.items()}
+                for i in range(num_views)
+            ]
         ref_feature, src_features = features[0], features[1:]
 
         # Step 2: per-stage projection matrices (K scaled per level).
