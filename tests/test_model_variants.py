@@ -1,0 +1,82 @@
+"""Non-default model configurations: alternate neighbor patterns, iteration
+counts, and the bf16 compute path (reference supports these via CLI flags —
+reference: train.py:222-233, patchmatch.py:331-394)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchmatchnet_tpu.models import PatchmatchNet
+from patchmatchnet_tpu.models.patchmatch import _fixed_offsets
+
+
+def _tiny_inputs(b=1, n=3, h=32, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(rng.random((b, n, h, w, 3)), jnp.float32)
+    k = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    intr = jnp.asarray(np.broadcast_to(k, (b, n, 3, 3)))
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    for v in range(n):
+        extr[:, v, 0, 3] = 0.4 * (v - 1)
+    return images, intr, jnp.asarray(extr), jnp.asarray([2.0] * b), jnp.asarray([10.0] * b)
+
+
+def test_fixed_offset_patterns():
+    assert len(_fixed_offsets("propagation", 4, 2)) == 4
+    assert len(_fixed_offsets("propagation", 8, 2)) == 8
+    assert len(_fixed_offsets("propagation", 16, 2)) == 16
+    assert len(_fixed_offsets("evaluation", 9, 2)) == 9
+    assert len(_fixed_offsets("evaluation", 17, 2)) == 17
+    # 17-pattern = 9 base + doubled non-center offsets
+    base = _fixed_offsets("evaluation", 9, 3)
+    ext = _fixed_offsets("evaluation", 17, 3)
+    assert ext[:9] == base
+    assert all((2 * y, 2 * x) in ext[9:] for (y, x) in base if (y, x) != (0, 0))
+    with pytest.raises(NotImplementedError):
+        _fixed_offsets("propagation", 5, 2)
+
+
+@pytest.mark.parametrize(
+    "propagate,evaluate,iterations",
+    [
+        ((0, 4, 4), (9, 9, 9), (1, 2, 2)),
+        ((0, 8, 16), (17, 17, 17), (1, 1, 1)),
+        ((4, 8, 16), (9, 9, 9), (2, 2, 2)),
+    ],
+)
+def test_variant_configs_forward(propagate, evaluate, iterations):
+    model = PatchmatchNet(
+        patchmatch_iteration=iterations,
+        propagate_neighbors=propagate,
+        evaluate_neighbors=evaluate,
+    )
+    inputs = _tiny_inputs()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, *inputs
+    )
+    depth, conf, dp = model.apply(
+        variables, *inputs, rngs={"sample": jax.random.PRNGKey(2)}
+    )
+    assert depth.shape == (1, 32, 32)
+    assert np.isfinite(np.asarray(depth)).all()
+    assert len(dp[3]) == iterations[2]
+    assert len(dp[1]) == iterations[0]
+
+
+def test_bf16_compute_path_smoke():
+    model32 = PatchmatchNet()
+    model16 = PatchmatchNet(compute_dtype=jnp.bfloat16)
+    inputs = _tiny_inputs(seed=3)
+    variables = model32.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, *inputs
+    )
+    noise = jnp.asarray(
+        np.random.default_rng(5).random((1, 48, 4, 4)), jnp.float32
+    )
+    d32, _, _ = model32.apply(variables, *inputs, init_noise=noise)
+    d16, _, _ = model16.apply(variables, *inputs, init_noise=noise)
+    assert np.isfinite(np.asarray(d16)).all()
+    # bf16 path stays in the same ballpark as f32
+    assert np.abs(np.asarray(d16) - np.asarray(d32)).mean() < 0.5
