@@ -1,5 +1,10 @@
 """Training: train state, jitted train/eval steps, LR schedule, checkpoints."""
 
+from patchmatchnet_tpu.train.checkpoints import (
+    find_latest_orbax_checkpoint,
+    load_orbax_checkpoint,
+    save_orbax_checkpoint,
+)
 from patchmatchnet_tpu.train.loop import (
     TrainState,
     build_stage_pyramid,
@@ -14,6 +19,9 @@ from patchmatchnet_tpu.train.loop import (
 )
 
 __all__ = [
+    "find_latest_orbax_checkpoint",
+    "load_orbax_checkpoint",
+    "save_orbax_checkpoint",
     "TrainState",
     "build_stage_pyramid",
     "create_train_state",

@@ -156,3 +156,24 @@ def test_data_parallel_mesh_step(setup):
         mismatched += int((diff > 1e-5).sum())
         total += diff.size
     assert mismatched / total < 1e-3, f"{mismatched}/{total} params diverged"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, setup):
+    pytest.importorskip("orbax.checkpoint")
+    from patchmatchnet_tpu.train.checkpoints import (
+        find_latest_orbax_checkpoint,
+        load_orbax_checkpoint,
+        save_orbax_checkpoint,
+    )
+
+    model, tx, fresh_state, batch = setup
+    state = fresh_state()
+    path = str(tmp_path / "orbax_000005")
+    save_orbax_checkpoint(path, state, epoch=5)
+    restored, epoch = load_orbax_checkpoint(path, fresh_state())
+    assert epoch == 5
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert find_latest_orbax_checkpoint(str(tmp_path)) == path
