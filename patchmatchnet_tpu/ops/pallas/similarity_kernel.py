@@ -102,7 +102,9 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
 
     tile = _tile_rows(hwp, c4, c)
     nj = hwp // tile
-    grid = (b, num_depth, nj)
+    # d iterates FASTEST so the reference-feature block index is unchanged
+    # across the D inner steps and stays VMEM-resident.
+    grid = (b, nj, num_depth)
     interpret = jax.default_backend() == "cpu"
 
     return pl.pallas_call(
@@ -112,22 +114,22 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
         in_specs=[
             pl.BlockSpec(
                 (1, tile, c4),
-                lambda bi, d, j: (bi, d * nj + j, 0),
+                lambda bi, j, d: (bi, d * nj + j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 4, tile),
-                lambda bi, d, j: (bi, 0, d * nj + j),
+                lambda bi, j, d: (bi, 0, d * nj + j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, c), lambda bi, d, j: (bi, j, 0), memory_space=pltpu.VMEM
+                (1, tile, c), lambda bi, j, d: (bi, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((c, g), lambda bi, d, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, g), lambda bi, j, d: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, g, tile),
-            lambda bi, d, j: (bi, 0, d * nj + j),
+            lambda bi, j, d: (bi, 0, d * nj + j),
             memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
