@@ -281,7 +281,9 @@ class Evaluation(nn.Module):
         weight_sum = jnp.full((b, 1, 1, 1, 1), 1e-5, dtype=jnp.float32)
         similarity_sum = jnp.zeros((b, g, num_depth, h, w), dtype=jnp.float32)
 
-        gm = _group_mean_matrix(c, g, ref_feature.dtype)
+        # gm stays f32: the kernel upcasts bf16 payloads and runs all
+        # arithmetic (bilinear, ref product, group mean) in f32.
+        gm = _group_mean_matrix(c, g, jnp.float32)
         hw = h * w
         hwp = -(-hw // 128) * 128  # depth slices padded for the fused kernel
         ref_flat = ref_feature.reshape(b, hw, c)
@@ -317,17 +319,18 @@ class Evaluation(nn.Module):
         )  # [B, H, W, D]
 
         # One joint gather at the eval grid: [ref features (first iteration
-        # only) | normalized inverse depth | cost].
+        # only) | normalized inverse depth | cost]. The joint table is f32
+        # even on the bf16 path: x_norm differences are divided by
+        # interval_scale (0.005..0.025) downstream, so bf16's ~2^-9 relative
+        # error would be amplified ~200x into the depth weight.
         ref_sg = jax.lax.stop_gradient(ref_feature)
+        cost_f32 = cost_img.astype(jnp.float32)
         if feature_weight is None:
             joint = jnp.concatenate(
-                [ref_sg.astype(cost_img.dtype), x_norm_img.astype(cost_img.dtype), cost_img],
-                axis=-1,
+                [ref_sg.astype(jnp.float32), x_norm_img, cost_f32], axis=-1
             )
         else:
-            joint = jnp.concatenate(
-                [x_norm_img.astype(cost_img.dtype), cost_img], axis=-1
-            )
+            joint = jnp.concatenate([x_norm_img, cost_f32], axis=-1)
         sampled = grid_sample_2d(
             joint, grid, align_corners=False, padding_mode="border"
         )  # [B, Ke, H, W, C? + 2D]

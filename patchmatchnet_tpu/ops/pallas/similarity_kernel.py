@@ -35,30 +35,37 @@ _VMEM_BUDGET = 10 * 1024 * 1024  # total VMEM target incl. double buffering
 
 
 def _jnp_impl(taps, w4, ref, gm, num_depth):
-    """Reference implementation: [B,P,4C],[B,4,P],[B,HW,C],[C,G] -> [B,G,P].
-    P must equal num_depth * ref.shape[1]."""
+    """Reference implementation: [B,P,4C],[B,4,P],[B,HW,C],[C,G] -> [B,G,P] f32.
+    P must equal num_depth * ref.shape[1]. taps/ref may be bf16 (storage);
+    all arithmetic runs in f32."""
     b, p, c4 = taps.shape
     c = c4 // 4
     hw = ref.shape[1]
+    taps = taps.astype(jnp.float32)
+    w4 = w4.astype(jnp.float32)
     warped = (
         taps[..., 0 * c : 1 * c] * w4[:, 0, :, None]
         + taps[..., 1 * c : 2 * c] * w4[:, 1, :, None]
         + taps[..., 2 * c : 3 * c] * w4[:, 2, :, None]
         + taps[..., 3 * c : 4 * c] * w4[:, 3, :, None]
     )
-    prod = warped.reshape(b, num_depth, hw, c) * ref[:, None]
+    prod = warped.reshape(b, num_depth, hw, c) * ref[:, None].astype(jnp.float32)
     return jnp.einsum(
-        "bdpc,cg->bgdp", prod, gm, precision=jax.lax.Precision.HIGHEST
+        "bdpc,cg->bgdp",
+        prod,
+        gm.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(b, gm.shape[1], p)
 
 
-def _tile_rows(hwp: int, c4: int, c: int) -> int:
+def _tile_rows(hwp: int, c4: int, c: int, esize: int) -> int:
     """Largest multiple of 128 dividing hwp that fits the double-buffered
     VMEM budget (Mosaic requires minor block dims divisible by 128)."""
     c4_pad = max(c4, 128)
     c_pad = max(c, 128)
-    # bytes per point-row in VMEM: taps + w4 (4 -> 128 lanes) + ref + out
-    row_bytes = (c4_pad + 128 + c_pad + 8) * 4 * 2
+    # bytes per point-row in VMEM: taps + ref (payload dtype), w4 (f32,
+    # 4 -> 128 lanes) + f32 out, double-buffered
+    row_bytes = ((c4_pad + c_pad) * esize + (128 + 8) * 4) * 2
     budget = max(1, _VMEM_BUDGET // row_bytes // 128)
     m = hwp // 128
     k = min(m, budget)
@@ -68,11 +75,13 @@ def _tile_rows(hwp: int, c4: int, c: int) -> int:
 
 
 def _kernel(taps_ref, w4_ref, ref_ref, gm_ref, out_ref):
-    taps = taps_ref[0]  # [T, 4C]
+    # Payload refs (taps/ref) may be bf16 storage; every arithmetic op here
+    # is f32 (bilinear weights carry sub-pixel depth signal).
+    taps = taps_ref[0].astype(jnp.float32)  # [T, 4C]
     # w4 arrives transposed [4, T] so its VMEM block is lane-dense (a
     # [T, 4] block would pad 4 -> 128 lanes and double input traffic).
     w4 = jnp.transpose(w4_ref[0])  # [T, 4]
-    ref = ref_ref[0]  # [T, C]
+    ref = ref_ref[0].astype(jnp.float32)  # [T, C]
     c = ref.shape[-1]
     warped = (
         taps[:, 0 * c : 1 * c] * w4[:, 0:1]
@@ -100,7 +109,7 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
     assert hwp % 128 == 0, "pad depth slices to 128-point multiples"
     assert ref.shape[1] == hwp
 
-    tile = _tile_rows(hwp, c4, c)
+    tile = _tile_rows(hwp, c4, c, taps.dtype.itemsize)
     nj = hwp // tile
     # d iterates FASTEST so the reference-feature block index is unchanged
     # across the D inner steps and stays VMEM-resident.
@@ -125,7 +134,8 @@ def _pallas_impl(taps, w4, ref, gm, num_depth):
             pl.BlockSpec(
                 (1, tile, c), lambda bi, j, d: (bi, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((c, g), lambda bi, j, d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, g), lambda bi, j, d: (0, 0), memory_space=pltpu.VMEM),  # gm f32
+
         ],
         out_specs=pl.BlockSpec(
             (1, g, tile),

@@ -123,7 +123,12 @@ def warp_taps(
         padw = ((0, 0), (0, 0), (0, hwp - hw))
         ix = jnp.pad(ix.reshape(batch, num_depth, hw), padw).reshape(batch, -1)
         iy = jnp.pad(iy.reshape(batch, num_depth, hw), padw).reshape(batch, -1)
-    idx, w4 = quad_coords(src_quad, ix, iy, padding_mode="zeros")
+    # Bilinear weights stay f32 even when the feature payload is bf16:
+    # sub-pixel positions carry the depth signal and bf16 weights cost
+    # measurable depth accuracy (see PROGRESS.md round-2 precision table).
+    idx, w4 = quad_coords(
+        src_quad, ix, iy, padding_mode="zeros", weight_dtype=jnp.float32
+    )
     taps = _gather_rows(src_quad, idx)
     return taps, w4, hwp
 

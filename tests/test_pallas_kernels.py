@@ -57,6 +57,7 @@ def test_similarity_kernel_gradients():
 
 def test_tile_rows_divides():
     for hw in (128, 15616, 62336, 248832 // 128 * 128 + 128):
-        t = _tile_rows(hw, 256, 64)
-        assert hw % t == 0
-        assert t % 128 == 0
+        for esize in (2, 4):
+            t = _tile_rows(hw, 256, 64, esize)
+            assert hw % t == 0
+            assert t % 128 == 0
