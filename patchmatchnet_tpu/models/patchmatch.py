@@ -285,14 +285,17 @@ class Evaluation(nn.Module):
         # arithmetic (bilinear, ref product, group mean) in f32.
         gm = _group_mean_matrix(c, g, jnp.float32)
         hw = h * w
-        hwp = -(-hw // 128) * 128  # depth slices padded for the fused kernel
+        from patchmatchnet_tpu.ops.pallas.similarity_kernel import SLICE_PAD
+
+        # depth slices padded to full kernel tiles (see SLICE_PAD rationale)
+        hwp = -(-hw // SLICE_PAD) * SLICE_PAD
         ref_flat = ref_feature.reshape(b, hw, c)
         if hwp != hw:
             ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
             taps, w4, _ = warp_taps(
-                src_quad, src_proj, ref_proj, depth_sample, pad_to=128
+                src_quad, src_proj, ref_proj, depth_sample, pad_to=SLICE_PAD
             )
             sim_p = warped_group_similarity(taps, w4, ref_flat, gm, num_depth)
             similarity = sim_p.reshape(b, g, num_depth, hwp)[..., :hw].reshape(
@@ -319,30 +322,44 @@ class Evaluation(nn.Module):
         )  # [B, H, W, D]
 
         # One joint gather at the eval grid: [ref features (first iteration
-        # only) | normalized inverse depth | cost]. The joint table is f32
-        # even on the bf16 path: x_norm differences are divided by
-        # interval_scale (0.005..0.025) downstream, so bf16's ~2^-9 relative
-        # error would be amplified ~200x into the depth weight.
+        # only) | normalized inverse depth | cost]. x_norm differences are
+        # divided by interval_scale (0.005..0.025) downstream, so bf16's
+        # ~2^-9 relative error would be amplified ~200x into the depth
+        # weight. On the bf16 path x_norm therefore travels as a hi/lo
+        # bf16 pair (hi = bf16(x), lo = bf16(x - hi), combined error
+        # ~2^-17); bilinear sampling is linear, so sampling hi and lo
+        # separately and summing equals sampling x exactly (the sampler
+        # accumulates in f32).
         ref_sg = jax.lax.stop_gradient(ref_feature)
-        cost_f32 = cost_img.astype(jnp.float32)
-        if feature_weight is None:
-            joint = jnp.concatenate(
-                [ref_sg.astype(jnp.float32), x_norm_img, cost_f32], axis=-1
-            )
+        split_xnorm = self.dtype is not None and jnp.dtype(self.dtype).itemsize < 4
+        if split_xnorm:
+            x_hi = x_norm_img.astype(self.dtype)
+            x_lo = (x_norm_img - x_hi.astype(jnp.float32)).astype(self.dtype)
+            parts = [x_hi, x_lo, cost_img.astype(self.dtype)]
         else:
-            joint = jnp.concatenate([x_norm_img, cost_f32], axis=-1)
+            parts = [x_norm_img, cost_img.astype(jnp.float32)]
+        joint = jnp.concatenate(parts, axis=-1)
         sampled = grid_sample_2d(
             joint, grid, align_corners=False, padding_mode="border"
-        )  # [B, Ke, H, W, C? + 2D]
+        )  # [B, Ke, H, W, (2|3)D] f32
 
         if feature_weight is None:
-            ref_smp = sampled[..., :c]
-            sampled = sampled[..., c:]
+            # Reference-feature neighbors are gathered SEPARATELY: folding
+            # them into the joint table pushes the per-index payload past
+            # 256 bytes, where the TPU gather drops ~3.5x in rate on large
+            # tables (see PROGRESS.md round-2 notes).
+            ref_smp = grid_sample_2d(
+                ref_sg, grid, align_corners=False, padding_mode="border"
+            )
             feature_weight = self.feature_weight_net.weights_from_neighbors(
                 ref_smp, ref_sg, train
             )  # [B, Ke, H, W]
-        x_smp = sampled[..., :num_depth].astype(jnp.float32)
-        cost_smp = sampled[..., num_depth:].astype(jnp.float32)
+        if split_xnorm:
+            x_smp = sampled[..., :num_depth] + sampled[..., num_depth : 2 * num_depth]
+            cost_smp = sampled[..., 2 * num_depth :]
+        else:
+            x_smp = sampled[..., :num_depth]
+            cost_smp = sampled[..., num_depth:]
 
         # depth weight (reference: patchmatch.py:655-669), gradient-stopped
         diff = jnp.abs(x_smp - x_norm_img[:, None]) / interval_scale

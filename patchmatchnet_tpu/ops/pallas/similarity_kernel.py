@@ -58,15 +58,26 @@ def _jnp_impl(taps, w4, ref, gm, num_depth):
     ).reshape(b, gm.shape[1], p)
 
 
+# Depth slices are padded to multiples of this so every grid block is a
+# full-sized tile. Small tiles are poison here: the divisor-of-hwp logic
+# used in round 1 picked 256-point tiles at stage 3 (hwp=15616=2*61*128),
+# turning the kernel into ~4k tiny grid steps; measured step overhead is
+# ~2us, so tiles want to be as large as the VMEM budget allows.
+SLICE_PAD = 2048
+
+
 def _tile_rows(hwp: int, c4: int, c: int, esize: int) -> int:
-    """Largest multiple of 128 dividing hwp that fits the double-buffered
-    VMEM budget (Mosaic requires minor block dims divisible by 128)."""
+    """Tile size in points: SLICE_PAD when it fits the double-buffered VMEM
+    budget (it always does for this model's shapes), else the largest
+    128-multiple divisor of hwp that fits."""
     c4_pad = max(c4, 128)
     c_pad = max(c, 128)
     # bytes per point-row in VMEM: taps + ref (payload dtype), w4 (f32,
     # 4 -> 128 lanes) + f32 out, double-buffered
     row_bytes = ((c4_pad + c_pad) * esize + (128 + 8) * 4) * 2
     budget = max(1, _VMEM_BUDGET // row_bytes // 128)
+    if hwp % SLICE_PAD == 0 and budget >= SLICE_PAD // 128:
+        return SLICE_PAD
     m = hwp // 128
     k = min(m, budget)
     while m % k:

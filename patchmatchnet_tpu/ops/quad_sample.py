@@ -147,10 +147,17 @@ def quad_sample(
     grid_sample): zeros mode masks out-of-bounds taps; border mode assumes
     coordinates pre-clamped to [0, size-1] and is exact at the high edge via
     the shifted-corner trick (x0 = min(floor(ix), W-2), wx = ix - x0).
+
+    Weights and accumulation are always f32 (the payload may be bf16
+    storage); the result is f32.
     """
     c = quad.channels
-    idx, w4 = quad_coords(quad, ix, iy, padding_mode=padding_mode)
-    taps = _gather_rows(quad, idx)  # [B, P, 4C]
+    idx, w4 = quad_coords(
+        quad, ix, iy, padding_mode=padding_mode, weight_dtype=jnp.float32
+    )
+    taps = _gather_rows(quad, idx)  # [B, P, 4C], possibly bf16 storage
+    # bf16 taps x f32 weights promote to f32 inside the fused combine (an
+    # explicit astype here materializes a full [B, P, 4C] f32 convert).
     return (
         taps[..., 0 * c : 1 * c] * w4[:, 0, :, None]
         + taps[..., 1 * c : 2 * c] * w4[:, 1, :, None]
