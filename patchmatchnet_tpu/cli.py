@@ -28,6 +28,9 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--patchmatch_num_sample", nargs="+", type=int, default=[8, 8, 16])
     p.add_argument("--propagate_neighbors", nargs="+", type=int, default=[0, 8, 16])
     p.add_argument("--evaluate_neighbors", nargs="+", type=int, default=[9, 9, 9])
+    p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"],
+                   help="inference compute precision (bf16 payloads with f32 "
+                   "weights/accumulation, or full f32); training is always f32")
 
 
 def _add_data_args(p: argparse.ArgumentParser, eval_defaults: bool = False) -> None:
@@ -53,7 +56,8 @@ def _config_from_args(args) -> Config:
     cfg = Config()
     for name in vars(cfg.model):
         if hasattr(args, name):
-            setattr(cfg.model, name, tuple(getattr(args, name)))
+            v = getattr(args, name)
+            setattr(cfg.model, name, tuple(v) if isinstance(v, list) else v)
     for name in vars(cfg.data):
         if hasattr(args, name):
             setattr(cfg.data, name, getattr(args, name))
@@ -94,6 +98,10 @@ def cmd_train(argv: List[str]) -> None:
     p.add_argument("--summary_freq", type=int, default=20)
     p.add_argument("--save_freq", type=int, default=1)
     p.add_argument("--rand_seed", type=int, default=1)
+    p.add_argument("--ckpt_backend", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="training checkpoint backend: portable msgpack files "
+                   "or orbax directories (atomic commits, sharded restore)")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler device trace into this dir")
@@ -113,8 +121,22 @@ def cmd_eval(argv: List[str]) -> None:
     _add_model_args(p)
     _add_fusion_args(p)
     p.add_argument("--checkpoint_path", type=str, required=True)
+    p.add_argument("--input_type", type=str, default="params",
+                   choices=["params", "module"],
+                   help="'params': weights checkpoint (.msgpack or torch "
+                   ".ckpt); 'module': exported StableHLO inference artifact "
+                   "(the reference's TorchScript-module analog, eval.py:22-39)")
     p.add_argument("--output_type", type=str, default="both",
                    choices=["depth", "fusion", "both"])
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard eval batches over a data-parallel mesh of "
+                   "this many chips (each chip owns whole reference views); "
+                   "batch_size must be a multiple")
+    p.add_argument("--shape_bucket", type=int, default=0,
+                   help="round image sizes up to this multiple (edge-pad, "
+                   "crop outputs back) so mixed-size datasets (ETH3D) reuse "
+                   "a few compiled shapes instead of recompiling per size; "
+                   "0 = exact shapes")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if not args.output_folder:
@@ -124,11 +146,34 @@ def cmd_eval(argv: List[str]) -> None:
 
     if args.output_type in ("depth", "both"):
         from patchmatchnet_tpu.data import BatchLoader, MVSDataset
-        from patchmatchnet_tpu.infer import DepthEstimator, save_depth_maps
+        from patchmatchnet_tpu.infer import (
+            DepthEstimator,
+            ModuleEstimator,
+            save_depth_maps,
+        )
         from patchmatchnet_tpu.train.driver import build_model, load_any_checkpoint
 
-        variables = load_any_checkpoint(args.checkpoint_path)
-        estimator = DepthEstimator(variables, build_model(cfg))
+        mesh = None
+        if args.num_devices and args.num_devices > 1:
+            from patchmatchnet_tpu.parallel import make_mesh
+
+            mesh = make_mesh(args.num_devices)
+            if args.batch_size % args.num_devices != 0:
+                raise ValueError(
+                    f"batch_size {args.batch_size} must be a multiple of "
+                    f"--num_devices {args.num_devices}"
+                )
+        if args.input_type == "module":
+            with open(args.checkpoint_path, "rb") as f:
+                estimator = ModuleEstimator(f.read())
+        else:
+            variables = load_any_checkpoint(args.checkpoint_path)
+            estimator = DepthEstimator(
+                variables,
+                build_model(cfg, inference=True),
+                mesh=mesh,
+                bucket_multiple=args.shape_bucket,
+            )
         dataset = MVSDataset(
             args.input_folder,
             num_views=args.num_views,

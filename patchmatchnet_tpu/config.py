@@ -21,6 +21,11 @@ class ModelConfig:
     patchmatch_num_sample: Tuple[int, ...] = (8, 8, 16)
     propagate_neighbors: Tuple[int, ...] = (0, 8, 16)
     evaluate_neighbors: Tuple[int, ...] = (9, 9, 9)
+    # "bf16": bfloat16 feature/gather payloads with f32 weights and
+    # accumulation (inference default; median depth delta vs f32 measured at
+    # ~0.03% of depth — PROGRESS.md precision table). "f32": full precision,
+    # bit-close to the PyTorch reference; training uses f32.
+    precision: str = "bf16"
 
 
 @dataclass
@@ -50,6 +55,9 @@ class TrainConfig:
     robust_train: bool = False
     train_list: str = ""
     test_list: str = ""
+    # "msgpack" (portable single-file default) or "orbax" (atomic directory
+    # commits, restores onto sharded array trees)
+    ckpt_backend: str = "msgpack"
 
 
 @dataclass

@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import os
 import random
-import threading
-import queue as queue_mod
 from typing import Any, Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
@@ -259,25 +257,22 @@ class BatchLoader:
                 yield _stack_batch([self._load(i) for i in b])
             return
 
-        # Thread pool keeps `prefetch` batches in flight.
-        out_q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, self.prefetch))
-        sentinel = object()
+        # Pool of num_threads workers loading SAMPLES concurrently (each
+        # sample = N image decodes + resizes; PIL/numpy release the GIL),
+        # with up to `prefetch` whole batches in flight ahead of the
+        # consumer. Batch order is preserved.
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        def worker():
-            try:
-                for b in batches:
-                    out_q.put(_stack_batch([self._load(i) for i in b]))
-            except Exception as exc:  # surface loader errors to the consumer
-                out_q.put(exc)
-            finally:
-                out_q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            window = max(1, self.prefetch)
+            pending: "deque" = deque()
+            bi = 0
+            while bi < len(batches) or pending:
+                while bi < len(batches) and len(pending) < window:
+                    pending.append(
+                        [pool.submit(self._load, i) for i in batches[bi]]
+                    )
+                    bi += 1
+                futures = pending.popleft()
+                yield _stack_batch([f.result() for f in futures])

@@ -32,11 +32,38 @@ def _resize_nearest_np(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 class DepthEstimator:
-    """Jitted PatchmatchNet inference with per-shape compile caching."""
+    """Jitted PatchmatchNet inference with per-shape compile caching.
 
-    def __init__(self, variables: Dict[str, Any], model: Optional[PatchmatchNet] = None):
+    With `mesh` (a 1-D data mesh from parallel.make_mesh), batches are
+    sharded over the data axis — each chip processes whole reference views
+    with replicated params, mirroring the reference's DataParallel
+    inference (eval.py:33-42). batch_size must be a multiple of the mesh
+    size."""
+
+    def __init__(
+        self,
+        variables: Dict[str, Any],
+        model: Optional[PatchmatchNet] = None,
+        mesh=None,
+        bucket_multiple: int = 0,
+    ):
+        """bucket_multiple > 0 rounds (H, W) up to that multiple with
+        edge-replicated padding and crops the outputs back, so datasets with
+        heterogeneous image sizes (ETH3D multi-camera scans) hit a handful
+        of compiled shapes instead of one compile per distinct size.
+        Validity is exact for interior pixels up to border effects inside
+        the pad margin (conv halo + sampling near the seam); 0 = exact
+        shapes (reference-parity, one compile per distinct size)."""
+        if bucket_multiple and bucket_multiple % 8 != 0:
+            raise ValueError("bucket_multiple must be a multiple of 8")
+        self.bucket_multiple = bucket_multiple
         self.model = model or PatchmatchNet()
         self.variables = variables
+        self.mesh = mesh
+        if mesh is not None:
+            from patchmatchnet_tpu.parallel import replicated_sharding
+
+            self.variables = jax.device_put(variables, replicated_sharding(mesh))
 
         def forward(images, intrinsics, extrinsics, depth_min, depth_max, noise):
             depth, confidence, _ = self.model.apply(
@@ -57,10 +84,25 @@ class DepthEstimator:
         """batch: adjusted sample batch (see data.adjust_sample_dims).
         Returns (depth [B, Ho, Wo], confidence [B, Ho, Wo]) at the ORIGINAL
         resolution as numpy arrays."""
-        images = jnp.asarray(batch["images"])
+        images = np.asarray(batch["images"])
+        b, _, h0, w0 = images.shape[:4]
+        crop_hw = None
+        if self.bucket_multiple:
+            m = self.bucket_multiple
+            hb, wb = -(-h0 // m) * m, -(-w0 // m) * m
+            if (hb, wb) != (h0, w0):
+                # edge-replicate padding minimizes feature artifacts at the
+                # seam; outputs are cropped back below
+                images = np.pad(
+                    images,
+                    ((0, 0), (0, 0), (0, hb - h0), (0, wb - w0), (0, 0)),
+                    mode="edge",
+                )
+                crop_hw = (h0, w0)
+        images = jnp.asarray(images)
         b, _, h, w = images.shape[:4]
         noise = jax.random.uniform(rng, (b, 48, h // 8, w // 8), jnp.float32)
-        depth, confidence = self._forward(
+        args = (
             images,
             jnp.asarray(batch["intrinsics"]),
             jnp.asarray(batch["extrinsics"]),
@@ -68,8 +110,17 @@ class DepthEstimator:
             jnp.asarray(batch["depth_max"]),
             noise,
         )
+        if self.mesh is not None:
+            from patchmatchnet_tpu.parallel import shard_batch
+
+            args = shard_batch(args, self.mesh)
+        depth, confidence = self._forward(*args)
         depth = np.asarray(depth)
         confidence = np.asarray(confidence)
+        if crop_hw is not None:
+            depth = depth[:, : crop_hw[0], : crop_hw[1]]
+            confidence = confidence[:, : crop_hw[0], : crop_hw[1]]
+            h, w = crop_hw
 
         orig_h = int(np.asarray(batch.get("orig_height", h)).reshape(-1)[0])
         orig_w = int(np.asarray(batch.get("orig_width", w)).reshape(-1)[0])
@@ -81,6 +132,35 @@ class DepthEstimator:
                 [_resize_nearest_np(c, orig_h, orig_w) for c in confidence]
             )
         return depth, confidence
+
+
+class ModuleEstimator(DepthEstimator):
+    """Inference from an exported StableHLO artifact (the analog of the
+    reference's `--input_type module` TorchScript path, eval.py:22-39,37-39).
+
+    The artifact bakes in weights and a FIXED input geometry; batches must
+    match its (B, N, H, W) exactly (use --image_max_dim / batch_size to
+    reproduce the export geometry)."""
+
+    def __init__(self, blob: bytes):
+        from patchmatchnet_tpu.compat import load_exported
+
+        self.mesh = None  # fixed-geometry artifact; single-device execution
+        self._exported = load_exported(blob)
+        self._shape = tuple(self._exported.in_avals[0].shape)
+
+        def forward(images, intrinsics, extrinsics, depth_min, depth_max, noise):
+            if tuple(images.shape) != self._shape:
+                raise ValueError(
+                    f"exported module expects images {self._shape}, got "
+                    f"{tuple(images.shape)}; re-export for this geometry or "
+                    "set --image_max_dim/--batch_size to match"
+                )
+            return self._exported.call(
+                images, intrinsics, extrinsics, depth_min, depth_max, noise
+            )
+
+        self._forward = forward
 
 
 def save_depth_maps(

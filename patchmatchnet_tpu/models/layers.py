@@ -217,7 +217,7 @@ class ConvTranspose2dTorch(nn.Module):
         # pad = k - 1 - p = 1 on the low side, + output_padding = 2 high side
         return jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(x.dtype),
             window_strides=(1, 1),
             padding=((1, 2), (1, 2)),
             lhs_dilation=(2, 2),

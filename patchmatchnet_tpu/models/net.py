@@ -61,7 +61,7 @@ class PatchmatchNet(nn.Module):
         self.patchmatch_1 = self._make_stage(1)
         self.patchmatch_2 = self._make_stage(2)
         self.patchmatch_3 = self._make_stage(3)
-        self.upsample_net = Refinement()
+        self.upsample_net = Refinement(dtype=self.compute_dtype)
 
     def _make_stage(self, stage: int) -> PatchMatch:
         i = stage - 1

@@ -3,6 +3,8 @@ residual guided by the reference image (reference: models/net.py:73-122)."""
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -15,21 +17,28 @@ from patchmatchnet_tpu.ops.resize import upsample_nearest_x2
 
 
 class Refinement(nn.Module):
-    """img [B, H, W, 3] + depth [B, H/2, W/2] -> refined depth [B, H, W]."""
+    """img [B, H, W, 3] + depth [B, H/2, W/2] -> refined depth [B, H, W].
+
+    `dtype` (e.g. bf16) applies to the conv branches only; depth
+    normalization, the residual add and denormalization stay f32 (the
+    residual is a small correction on [0,1]-normalized depth)."""
+
+    dtype: Any = None
 
     def setup(self):
-        self.conv0 = ConvBnReLU(8)  # image branch
-        self.conv1 = ConvBnReLU(8)  # depth branch
-        self.conv2 = ConvBnReLU(8)
+        self.conv0 = ConvBnReLU(8, dtype=self.dtype)  # image branch
+        self.conv1 = ConvBnReLU(8, dtype=self.dtype)  # depth branch
+        self.conv2 = ConvBnReLU(8, dtype=self.dtype)
         self.deconv = ConvTranspose2dTorch(8)
-        self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
-        self.conv3 = ConvBnReLU(8)
+        self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+        self.conv3 = ConvBnReLU(8, dtype=self.dtype)
         self.res = nn.Conv(
             1,
             kernel_size=(3, 3),
             padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=self.dtype,
         )
 
     def __call__(
@@ -51,7 +60,7 @@ class Refinement(nn.Module):
         deconv = nn.relu(self.bn(deconv, use_running_average=not train))
         # channel order matches the reference cat((deconv, conv0))
         cat = jnp.concatenate([deconv, conv0], axis=-1)
-        res = self.res(self.conv3(cat, train))  # [B, H, W, 1]
+        res = self.res(self.conv3(cat, train)).astype(jnp.float32)  # [B, H, W, 1]
 
         depth = upsample_nearest_x2(depth) + res
         return depth[..., 0] * (dmax - dmin) + dmin

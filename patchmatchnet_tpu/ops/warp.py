@@ -97,20 +97,18 @@ def differentiable_warp(
     return grid_sample_2d(src_fea, grid, align_corners=True, padding_mode="zeros")
 
 
-def warp_taps(
+def warp_coords(
     src_quad: "QuadImage",
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
     depth_samples: jnp.ndarray,
     pad_to: int = 1,
 ):
-    """Gather the 2x2 warp taps without combining them.
+    """Quad-table gather coordinates for the warp, without gathering.
 
-    Returns (taps [B, P', 4C], w4 [B, 4, P'], hwp) with P' = D * hwp ordered
-    (d, h, w), where hwp is H*W rounded up to a multiple of `pad_to`
-    (padding COORDINATES before the gather is free compared to re-copying
-    the wide taps array afterwards). For the fused similarity kernel
-    (ops/pallas/similarity_kernel.py).
+    Returns (idx [B, P'] int32 rows into src_quad.data, w4 [B, 4, P'] f32
+    bilinear tap weights, hwp) with P' = D * hwp ordered (d, h, w), where
+    hwp is H*W rounded up to a multiple of `pad_to`.
     """
     batch, num_depth, height, width = depth_samples.shape
     hw = height * width
@@ -129,6 +127,25 @@ def warp_taps(
     idx, w4 = quad_coords(
         src_quad, ix, iy, padding_mode="zeros", weight_dtype=jnp.float32
     )
+    return idx, w4, hwp
+
+
+def warp_taps(
+    src_quad: "QuadImage",
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+    pad_to: int = 1,
+):
+    """Gather the 2x2 warp taps without combining them.
+
+    Returns (taps [B, P', 4C], w4 [B, 4, P'], hwp) with P' = D * hwp ordered
+    (d, h, w), where hwp is H*W rounded up to a multiple of `pad_to`
+    (padding COORDINATES before the gather is free compared to re-copying
+    the wide taps array afterwards). For the fused similarity kernel
+    (ops/pallas/similarity_kernel.py).
+    """
+    idx, w4, hwp = warp_coords(src_quad, src_proj, ref_proj, depth_samples, pad_to)
     taps = _gather_rows(src_quad, idx)
     return taps, w4, hwp
 

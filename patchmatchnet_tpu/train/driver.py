@@ -38,8 +38,15 @@ from patchmatchnet_tpu.utils.metrics import DictAverageMeter
 from patchmatchnet_tpu.utils.profiling import PhaseTimer, jax_trace
 
 
-def build_model(cfg: Config) -> PatchmatchNet:
+def build_model(cfg: Config, inference: bool = False) -> PatchmatchNet:
     m = cfg.model
+    # bf16 payloads are an inference optimization; training stays f32
+    # regardless of cfg.model.precision (reference training is f32 torch).
+    dtype = None
+    if inference and getattr(m, "precision", "f32") == "bf16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
     return PatchmatchNet(
         patchmatch_interval_scale=tuple(m.patchmatch_interval_scale),
         propagation_range=tuple(m.propagation_range),
@@ -47,6 +54,7 @@ def build_model(cfg: Config) -> PatchmatchNet:
         patchmatch_num_sample=tuple(m.patchmatch_num_sample),
         propagate_neighbors=tuple(m.propagate_neighbors),
         evaluate_neighbors=tuple(m.evaluate_neighbors),
+        compute_dtype=dtype,
     )
 
 
@@ -130,9 +138,24 @@ def run_training(
     tx = make_optimizer(schedule, t.weight_decay)
     state = create_train_state(model, variables, tx)
 
+    backend = getattr(t, "ckpt_backend", "msgpack")
     start_epoch = 0
-    ckpt_path = t.checkpoint_path or find_latest_checkpoint(t.output_folder)
-    if t.resume and ckpt_path and os.path.isfile(ckpt_path):
+    if backend == "orbax":
+        from patchmatchnet_tpu.train.checkpoints import (
+            find_latest_orbax_checkpoint,
+            load_orbax_checkpoint,
+        )
+
+        ckpt_path = t.checkpoint_path or find_latest_orbax_checkpoint(
+            t.output_folder
+        )
+    else:
+        ckpt_path = t.checkpoint_path or find_latest_checkpoint(t.output_folder)
+    if t.resume and ckpt_path and os.path.isdir(str(ckpt_path)) and backend == "orbax":
+        print(f"Resuming from {ckpt_path} (orbax)")
+        state, last_epoch = load_orbax_checkpoint(ckpt_path, state)
+        start_epoch = last_epoch + 1
+    elif t.resume and ckpt_path and os.path.isfile(ckpt_path):
         print(f"Resuming from {ckpt_path}")
         state, last_epoch = load_train_checkpoint(ckpt_path, state)
         start_epoch = last_epoch + 1
@@ -193,11 +216,24 @@ def run_training(
         # checkpoint + inference-module export
         if (epoch + 1) % t.save_freq == 0:
             host_state = jax.tree.map(np.asarray, state)
-            save_train_checkpoint(
-                os.path.join(t.output_folder, f"params_{epoch:06d}.ckpt.msgpack"),
-                host_state,
-                epoch,
-            )
+            if backend == "orbax":
+                from patchmatchnet_tpu.train.checkpoints import (
+                    save_orbax_checkpoint,
+                )
+
+                save_orbax_checkpoint(
+                    os.path.join(t.output_folder, f"orbax_{epoch:06d}"),
+                    host_state,
+                    epoch,
+                )
+            else:
+                save_train_checkpoint(
+                    os.path.join(
+                        t.output_folder, f"params_{epoch:06d}.ckpt.msgpack"
+                    ),
+                    host_state,
+                    epoch,
+                )
             save_variables(
                 os.path.join(t.output_folder, f"module_{epoch:06d}.msgpack"),
                 {"params": host_state.params, "batch_stats": host_state.batch_stats},

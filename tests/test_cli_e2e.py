@@ -54,6 +54,40 @@ def test_eval_cli_end_to_end(scene):
 
 
 @pytest.mark.slow
+def test_eval_cli_module_input(scene, tmp_path):
+    """cli eval --input_type module runs the exported StableHLO artifact
+    (the reference's --input_type module TorchScript path, eval.py:22-39)."""
+    from patchmatchnet_tpu.compat import export_inference, load_variables
+
+    variables = load_variables(CKPT)
+    # --num_views 3 selects 3 SOURCE views -> batches carry 4 images
+    blob = export_inference(variables, batch=1, num_views=4, height=64, width=80)
+    module_path = str(tmp_path / "module.stablehlo")
+    with open(module_path, "wb") as f:
+        f.write(blob)
+
+    out = str(tmp_path / "module_out")
+    cli_main(
+        [
+            "eval",
+            "--input_folder", scene,
+            "--output_folder", out,
+            "--checkpoint_path", module_path,
+            "--input_type", "module",
+            "--output_type", "depth",
+            "--num_views", "3",
+            "--image_extension", ".png",
+        ]
+    )
+    for v in range(4):
+        d = read_map(os.path.join(out, "depth_est", f"{v:08d}.pfm"))
+        assert d.shape[:2] == (64, 80)
+    d0 = read_map(os.path.join(out, "depth_est", "00000000.pfm"))[:, :, 0]
+    inlier = np.abs(d0 - PLANE_Z) < 0.15 * PLANE_Z
+    assert inlier.mean() > 0.6
+
+
+@pytest.mark.slow
 def test_train_cli_one_epoch(scene, tmp_path):
     out = str(tmp_path / "train_out")
     scan_list = str(tmp_path / "scans.txt")

@@ -97,6 +97,46 @@ def test_batch_loader(scene, num_threads):
     assert isinstance(batches[0]["filename"], list)
 
 
+def test_batch_loader_concurrency(scene):
+    """num_threads workers must load samples of one batch CONCURRENTLY
+    (round-1 regression: a single producer thread loaded them serially)."""
+    import threading
+    import time
+
+    root, _, _ = scene
+    ds = MVSDataset(root, num_views=2, image_extension=".png")
+
+    lock = threading.Lock()
+    active = {"now": 0, "peak": 0}
+    orig = MVSDataset.__getitem__
+
+    def slow_getitem(self, idx):
+        with lock:
+            active["now"] += 1
+            active["peak"] = max(active["peak"], active["now"])
+        time.sleep(0.05)
+        try:
+            return orig(self, idx)
+        finally:
+            with lock:
+                active["now"] -= 1
+
+    MVSDataset.__getitem__ = slow_getitem
+    try:
+        loader = BatchLoader(ds, batch_size=3, num_threads=3, prefetch=1)
+        start = time.perf_counter()
+        batches = list(loader)
+        elapsed = time.perf_counter() - start
+    finally:
+        MVSDataset.__getitem__ = orig
+
+    n = len(ds)
+    assert len(batches) == (n + 2) // 3
+    assert active["peak"] >= 2, "samples in a batch did not load concurrently"
+    # serial loading would sleep n * 0.05s back to back
+    assert elapsed < n * 0.05 * 0.75 + 0.3
+
+
 def test_batch_loader_drop_last(scene):
     root, _, _ = scene
     ds = MVSDataset(root, num_views=2, image_extension=".png")

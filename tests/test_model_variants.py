@@ -80,3 +80,39 @@ def test_bf16_compute_path_smoke():
     assert np.isfinite(np.asarray(d16)).all()
     # bf16 path stays in the same ballpark as f32
     assert np.abs(np.asarray(d16) - np.asarray(d32)).mean() < 0.5
+
+
+@pytest.mark.slow
+def test_shape_bucketing_single_compile():
+    """DepthEstimator(bucket_multiple=64): two different image sizes land in
+    ONE compiled shape and outputs come back at the original sizes
+    (VERDICT round-1 item 6: heterogeneous-size eval must not recompile
+    per image)."""
+    import os
+
+    from patchmatchnet_tpu.compat import load_variables
+    from patchmatchnet_tpu.infer import DepthEstimator
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "checkpoints", "params_000007.msgpack"
+    )
+    est = DepthEstimator(load_variables(ckpt), PatchmatchNet(), bucket_multiple=64)
+
+    rng = np.random.default_rng(0)
+    for h, w in [(40, 56), (48, 64)]:
+        k = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]], np.float32)
+        extr = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+        extr[:, 1, 0, 3] = 0.4
+        batch = {
+            "images": rng.random((1, 2, h, w, 3)).astype(np.float32),
+            "intrinsics": np.broadcast_to(k, (1, 2, 3, 3)).copy(),
+            "extrinsics": extr,
+            "depth_min": np.asarray([2.0], np.float32),
+            "depth_max": np.asarray([10.0], np.float32),
+        }
+        depth, conf = est(batch, jax.random.PRNGKey(0))
+        assert depth.shape == (1, h, w)
+        assert conf.shape == (1, h, w)
+        assert np.isfinite(depth).all()
+
+    assert est._forward._cache_size() == 1, "bucketed sizes must share a compile"

@@ -177,3 +177,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path, setup):
     for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert find_latest_orbax_checkpoint(str(tmp_path)) == path
+
+
+def test_orbax_resume_on_mesh(tmp_path, setup):
+    """Orbax restore onto a replicated 8-device mesh state, then one sharded
+    train step — exercises the --ckpt_backend=orbax resume path
+    (VERDICT round-1 item 7)."""
+    pytest.importorskip("orbax.checkpoint")
+    from patchmatchnet_tpu.train.checkpoints import (
+        load_orbax_checkpoint,
+        save_orbax_checkpoint,
+    )
+
+    model, tx, fresh_state, _ = setup
+    state = fresh_state()
+    path = str(tmp_path / "orbax_000002")
+    save_orbax_checkpoint(path, state, epoch=2)
+
+    mesh = make_mesh(8)
+    rep = replicated_sharding(mesh)
+    template = jax.device_put(fresh_state(), rep)
+    restored, epoch = load_orbax_checkpoint(path, template)
+    assert epoch == 2
+    restored = jax.device_put(restored, rep)
+
+    batch = tiny_batch(batch_size=8, num_views=2, h=16, w=16)
+    step = make_train_step(model, tx)
+    new_state, metrics, _ = step(
+        restored, shard_batch(batch, mesh), jax.device_put(jax.random.PRNGKey(1), rep)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == int(state.step) + 1

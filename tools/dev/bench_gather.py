@@ -35,7 +35,7 @@ def scan_time(op, fixed_args, idx_variants, iters=3):
         acc, _ = jax.lax.scan(body, salt, idxs)
         return acc
 
-    k = idx_variants.shape[0]
+    k = jax.tree.leaves(idx_variants)[0].shape[0]
     float(run(fixed_args, idx_variants, jnp.float32(0.0)))  # compile + warm
     times = []
     for i in range(iters):

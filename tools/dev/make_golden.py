@@ -24,7 +24,14 @@ import sys
 import numpy as np
 
 
-def make_scene(height: int, width: int, num_views: int, seed: int):
+def make_scene(
+    height: int,
+    width: int,
+    num_views: int,
+    seed: int,
+    depth_min: float = 4.0,
+    depth_max: float = 12.0,
+):
     """Synthetic calibrated scene: smooth random images, inward-looking cameras."""
     rng = np.random.default_rng(seed)
 
@@ -43,17 +50,21 @@ def make_scene(height: int, width: int, num_views: int, seed: int):
     )
     intrinsics = np.stack([k] * num_views)
 
+    # Baselines scale with the scene depth so triangulation angles stay
+    # comparable across depth ranges (e.g. DTU-like 425..935 mm exercises
+    # large-coordinate f32 warp math, BASELINE.json configs[0]).
+    t_scale = 0.6 * (depth_min + depth_max) / 16.0
     extrinsics = []
     for v in range(num_views):
         angle = 0.08 * (v - (num_views - 1) / 2.0)
         c, s = np.cos(angle), np.sin(angle)
         e = np.eye(4, dtype=np.float32)
         e[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
-        e[0, 3] = 0.6 * (v - (num_views - 1) / 2.0)
+        e[0, 3] = t_scale * (v - (num_views - 1) / 2.0)
         extrinsics.append(e)
     extrinsics = np.stack(extrinsics)
 
-    return images, intrinsics, extrinsics, 4.0, 12.0
+    return images, intrinsics, extrinsics, depth_min, depth_max
 
 
 def main():
@@ -65,6 +76,8 @@ def main():
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--num-views", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--depth-min", type=float, default=4.0)
+    parser.add_argument("--depth-max", type=float, default=12.0)
     args = parser.parse_args()
 
     sys.path.insert(0, args.reference_path)
@@ -91,7 +104,8 @@ def main():
     model.eval()
 
     images, intrinsics, extrinsics, dmin, dmax = make_scene(
-        args.height, args.width, args.num_views, args.seed
+        args.height, args.width, args.num_views, args.seed,
+        args.depth_min, args.depth_max,
     )
 
     # Capture the stage-3 stratified-random noise so runs are replayable.
