@@ -134,8 +134,10 @@ def main():
     parser.add_argument("--width", type=int, default=1152)
     parser.add_argument("--num-views", type=int, default=5)
     parser.add_argument("--batch", type=int, default=1)
-    parser.add_argument("--iters", type=int, default=5)
-    parser.add_argument("--warmup", type=int, default=2)
+    # the axon tunnel shows multi-ms dispatch jitter: 20 iterations keeps the
+    # measurement repeatable to ~0.1% (5 iters swung +-30% run to run)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument(
         "--train",
         action="store_true",

@@ -146,6 +146,7 @@ class ModuleEstimator(DepthEstimator):
         from patchmatchnet_tpu.compat import load_exported
 
         self.mesh = None  # fixed-geometry artifact; single-device execution
+        self.bucket_multiple = 0  # shapes are baked into the artifact
         self._exported = load_exported(blob)
         self._shape = tuple(self._exported.in_avals[0].shape)
 

@@ -14,6 +14,7 @@ models/patchmatch.py). Layouts are TPU-native NHWC / hypothesis-last:
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -29,7 +30,12 @@ from patchmatchnet_tpu.models.layers import (
 from patchmatchnet_tpu.ops.grid_sample import grid_sample_2d
 from patchmatchnet_tpu.ops.quad_sample import make_quad_image
 from patchmatchnet_tpu.ops.pallas import warped_group_similarity
-from patchmatchnet_tpu.ops.warp import warp_taps
+from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+    make_config as make_window_config,
+    make_quad_table_2d,
+    windowed_group_similarity,
+)
+from patchmatchnet_tpu.ops.warp import warp_pixel_coords, warp_taps
 
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
 
@@ -108,7 +114,14 @@ def propagate(depth_sample: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     middle = depth_sample[:, num_depth // 2, :, :, None]  # [B, H, W, 1]
     prop = grid_sample_2d(middle, grid, align_corners=False, padding_mode="border")
     prop = prop[..., 0]  # [B, Kp, H, W]
-    return jnp.sort(jnp.concatenate([depth_sample, prop], axis=1), axis=1)
+    if os.environ.get("PATCHMATCHNET_TPU_SORT") == "lax":
+        return jnp.sort(jnp.concatenate([depth_sample, prop], axis=1), axis=1)
+    # depth_sample is descending by construction (both initializers are
+    # monotone in inverse depth), so a bitonic merge network replaces the
+    # serial XLA sort loop (ops/sortnet.py).
+    from patchmatchnet_tpu.ops.sortnet import merge_sorted_desc_with_unsorted
+
+    return merge_sorted_desc_with_unsorted(depth_sample, prop)
 
 
 def depth_weight(
@@ -254,6 +267,7 @@ class Evaluation(nn.Module):
         view_weights: Optional[jnp.ndarray],
         is_inverse: bool,
         train: bool = False,
+        sampler: str = "gather",
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Adaptive evaluation over precomputed source quad tables.
 
@@ -285,22 +299,32 @@ class Evaluation(nn.Module):
         # arithmetic (bilinear, ref product, group mean) in f32.
         gm = _group_mean_matrix(c, g, jnp.float32)
         hw = h * w
-        from patchmatchnet_tpu.ops.pallas.similarity_kernel import SLICE_PAD
+        win_cfg = make_window_config(h, w) if sampler == "windowed" else None
+        if win_cfg is None:
+            from patchmatchnet_tpu.ops.pallas.similarity_kernel import SLICE_PAD
 
-        # depth slices padded to full kernel tiles (see SLICE_PAD rationale)
-        hwp = -(-hw // SLICE_PAD) * SLICE_PAD
-        ref_flat = ref_feature.reshape(b, hw, c)
-        if hwp != hw:
-            ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
+            # depth slices padded to full kernel tiles (see SLICE_PAD rationale)
+            hwp = -(-hw // SLICE_PAD) * SLICE_PAD
+            ref_flat = ref_feature.reshape(b, hw, c)
+            if hwp != hw:
+                ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
         new_view_weights: List[jnp.ndarray] = []
         for i, (src_quad, src_proj) in enumerate(zip(src_features, src_projs)):
-            taps, w4, _ = warp_taps(
-                src_quad, src_proj, ref_proj, depth_sample, pad_to=SLICE_PAD
-            )
-            sim_p = warped_group_similarity(taps, w4, ref_flat, gm, num_depth)
-            similarity = sim_p.reshape(b, g, num_depth, hwp)[..., :hw].reshape(
-                b, g, num_depth, h, w
-            )
+            if win_cfg is not None:
+                # windowed sampler: fused warp-sample + similarity, no taps
+                # round trip (src_quad here is the 2-D padded quad table)
+                ix, iy = warp_pixel_coords(src_proj, ref_proj, depth_sample, h, w)
+                similarity = windowed_group_similarity(
+                    src_quad, ix, iy, ref_feature, gm, win_cfg
+                )  # [B, G, D, H, W] f32
+            else:
+                taps, w4, _ = warp_taps(
+                    src_quad, src_proj, ref_proj, depth_sample, pad_to=SLICE_PAD
+                )
+                sim_p = warped_group_similarity(taps, w4, ref_flat, gm, num_depth)
+                similarity = sim_p.reshape(b, g, num_depth, hwp)[..., :hw].reshape(
+                    b, g, num_depth, h, w
+                )
 
             if view_weights is None:
                 view_weight = self.pixel_wise_net(
@@ -331,6 +355,40 @@ class Evaluation(nn.Module):
         # separately and summing equals sampling x exactly (the sampler
         # accumulates in f32).
         ref_sg = jax.lax.stop_gradient(ref_feature)
+        # Experimental: the fused eval-score kernel (ops/pallas/eval_score.py)
+        # avoids the [B, Ke, H, W, D] intermediate but measured ~20 ms/map
+        # SLOWER than the joint eval-grid gather at the DTU bench config
+        # (its taps still round-trip HBM and the Ke-grid dispatch adds
+        # overhead); off by default until it wins.
+        if sampler == "windowed" and os.environ.get(
+            "PATCHMATCHNET_TPU_EVAL_FUSED", "0"
+        ) == "1":
+            # Fused inference path: one uint16 quad gather (x_norm as 16-bit
+            # fixed point — same 2^-17 error as the hi/lo pair — and cost as
+            # bf16 bits) + a Pallas kernel doing bilinear combine, depth
+            # weight, feature weighting and the neighbor reduction in VMEM
+            # (ops/pallas/eval_score.py). No [B, Ke, H, W, D] intermediate.
+            if feature_weight is None:
+                ref_smp = grid_sample_2d(
+                    ref_sg, grid, align_corners=False, padding_mode="border"
+                )
+                feature_weight = self.feature_weight_net.weights_from_neighbors(
+                    ref_smp, ref_sg, train
+                )  # [B, Ke, H, W]
+            from patchmatchnet_tpu.ops.pallas.eval_score import eval_grid_score
+
+            score = eval_grid_score(
+                x_norm_img,
+                cost_img,
+                grid,
+                feature_weight.astype(jnp.float32),
+                interval_scale,
+            )
+            score = jax.nn.softmax(score, axis=-1)
+            return self._finish(
+                score, depth_sample, num_depth, is_inverse,
+                view_weights, new_view_weights, feature_weight,
+            )
         split_xnorm = self.dtype is not None and jnp.dtype(self.dtype).itemsize < 4
         if split_xnorm:
             x_hi = x_norm_img.astype(self.dtype)
@@ -370,7 +428,22 @@ class Evaluation(nn.Module):
         weight = weight / jnp.sum(weight, axis=1, keepdims=True)
         score = jnp.sum(cost_smp * weight, axis=1)  # [B, H, W, D]
         score = jax.nn.softmax(score.astype(jnp.float32), axis=-1)
+        return self._finish(
+            score, depth_sample, num_depth, is_inverse,
+            view_weights, new_view_weights, feature_weight,
+        )
 
+    def _finish(
+        self,
+        score,
+        depth_sample,
+        num_depth,
+        is_inverse,
+        view_weights,
+        new_view_weights,
+        feature_weight,
+    ):
+        """Shared tail: depth regression + view-weight assembly."""
         if view_weights is None:
             view_weights = jnp.concatenate(new_view_weights, axis=-1)  # [B, H, W, V]
 
@@ -560,9 +633,28 @@ class PatchMatch(nn.Module):
 
         feature_weight = None  # computed inside the first evaluation pass
 
-        # Quad images: built once per source view, reused by every warp tap
-        # across all iterations (see ops/quad_sample.py).
-        src_quads = [make_quad_image(f, "zeros") for f in src_features]
+        # Sampler selection: the windowed Pallas path (exact, gather-free;
+        # ops/pallas/windowed_similarity.py) runs at inference on the bf16
+        # path when the stage shape tiles cleanly; training and f32 use the
+        # quad-gather path (differentiable custom-VJP kernel).
+        sampler = "gather"
+        win_stages = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3")
+        if (
+            not train
+            and self.dtype is not None
+            and jnp.dtype(self.dtype).itemsize < 4
+            and os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed") == "windowed"
+            and str(self.stage) in win_stages.split(",")
+            and make_window_config(h, w) is not None
+        ):
+            sampler = "windowed"
+
+        # Source tables: built once per view, reused by every warp sample
+        # across all iterations.
+        if sampler == "windowed":
+            src_quads = [make_quad_table_2d(f) for f in src_features]
+        else:
+            src_quads = [make_quad_image(f, "zeros") for f in src_features]
 
         score = None
         depths: List[jnp.ndarray] = []
@@ -620,6 +712,7 @@ class PatchMatch(nn.Module):
                 view_weights,
                 is_inverse,
                 train,
+                sampler,
             )
             depths.append(depth)
 

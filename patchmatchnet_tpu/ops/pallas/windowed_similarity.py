@@ -1,0 +1,444 @@
+"""Windowed warp-sampling + group-similarity kernel (gather-free hot path).
+
+The PatchmatchNet evaluation step is sampling-bound: for every (pixel, depth
+hypothesis, source view) it bilinearly samples source features and correlates
+them with the reference feature (reference: models/module.py:130-181 warping +
+models/patchmatch.py:198-217 group correlation). The round-1 path realized
+this as an XLA gather of 2x2 "quad" taps plus a fused Pallas combine kernel —
+correct, but the [P, 4C] taps intermediate makes a full HBM round trip
+(~6 GB/forward at the DTU eval config), and TPU gathers cost ~2-4 ns/index on
+top. Both costs are eliminated here by exploiting sample locality measured on
+real warps (tools/dev/window_stats.py): all samples of an 8-row x TW-col
+pixel tile land in a ~12-row x ~(TW+8)-col source window, even for the
+stage-3 stratified random initialization (a depth stratum projects to a
+narrow band).
+
+Kernel structure, per (batch, tile) grid step:
+
+  window = quad_table[oy : oy+HWIN, ox : ox+WWIN]     (Element-indexed DMA,
+                                                       origins scalar-prefetched)
+  for each of the TH ref rows:
+      band  = window[r0 : r0+HBAND]                   (dynamic sublane slice)
+      h     = exact one-hot[(band row, window col), (d, pixel)]
+      taps  = band^T @ h          # [4C, S] — the "gather" as one MXU matmul
+      warped= sum_t w4_t * taps[tC:(t+1)C]            (f32 bilinear, in VMEM)
+      sim   = gm^T @ (warped * ref_row)               # [G, S] group means
+
+The one-hot is exact (0/1 in bf16), so taps are bit-identical to a gather of
+the bf16 table; bilinear weights and all accumulation stay f32 — the same
+numerics contract as the round-1 kernel (see PROGRESS.md precision table).
+
+Coverage: samples whose quad cell falls outside the tile window or row band
+contribute exactly zero (the one-hot matches no column) — the same value an
+off-image sample produces. Window sizes are chosen so this cannot happen for
+smooth warp fields; `escape_count` measures it exactly and tests assert 0 on
+real scenes. The pure-jnp reference (`_jnp_windowed`) reproduces the window
+semantics bit-for-bit and runs everywhere (CPU tests); the Pallas path
+requires a TPU backend and bf16 tables.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax._src.pallas import core as pallas_core  # Element block dims
+
+HWIN = 24       # window rows: tile y-extent (~12 measured) + 8-row origin quantization
+HBAND_DEFAULT = 6   # band rows per (ref row, all d); env-overridable
+TW_DEFAULT = 48     # preferred tile width; narrower tiles keep the epipolar
+                    # tilt across a ref-row slab within the band (measured:
+                    # max span 5 at tw=48 vs 9 at tw=96 on the bench views)
+X_MARGIN = 16   # window cols beyond TW: bbox margin + 16-col origin quantization
+SC_MAX = 2304   # max lanes per in-kernel d-chunk (bounds the one-hot VMEM)
+
+
+class WindowConfig(NamedTuple):
+    th: int      # ref rows per tile (divides padded H; 8, 4, 2, or 1)
+    tw: int      # tile width (divides padded W, multiple of 16)
+    ty: int      # tiles in y  (HP // th)
+    tx: int      # tiles in x  (WP // tw)
+    wwin: int    # window cols (multiple of 16)
+    hband: int   # band rows per ref row
+    hp: int      # padded height (edge-padded coords; output sliced back)
+    wp: int      # padded width
+
+
+def choose_tile_width(width: int) -> int | None:
+    """Tile width (multiple of 16, >= configured minimum): prefer an exact
+    divisor of `width` (no padded compute); otherwise the width minimizing
+    padded-out columns. The one-hot matmul costs hband * (tw + margin) * 4C
+    MACs per sample, so narrower tiles are cheaper AND need a shorter band
+    (epipolar tilt across the slab scales with tw). S = D * tw stays a
+    multiple of 128 for every even D >= 8. None only for degenerate widths."""
+    tw_min = int(os.environ.get("PATCHMATCHNET_TPU_TW", TW_DEFAULT))
+    if width < 16:
+        return None
+    for tw in range(tw_min, 257, 16):
+        if width % tw == 0:
+            return tw
+    # No exact divisor: pad the width out to the NARROWEST tile instead of
+    # widening tiles — the band height requirement (epipolar tilt across a
+    # ref-row slab) grows with tile width, so wider tiles would need taller
+    # bands to stay escape-free while padding only costs extra columns.
+    return tw_min
+
+
+def make_config(height: int, width: int) -> WindowConfig | None:
+    tw = choose_tile_width(width)
+    if tw is None or height < 8:
+        return None
+    th = 8
+    hp = -(-height // th) * th
+    wp = -(-width // tw) * tw
+    # window cols: tile extent + bbox margin + 16-col origin quantization,
+    # clamped to the (16-aligned) table width when the table is narrower
+    wwin = min(tw + X_MARGIN * 2, -(-(width + 1) // 16) * 16)
+    hband = int(os.environ.get("PATCHMATCHNET_TPU_HBAND", HBAND_DEFAULT))
+    return WindowConfig(th, tw, hp // th, wp // tw, wwin, hband, hp, wp)
+
+
+def _d_chunk(d: int, tw: int) -> int:
+    """Largest divisor of d with dc * tw <= SC_MAX lanes and dc * tw a
+    multiple of 128 (static lane-slice boundaries). Falls back to d."""
+    for dc in range(min(d, max(1, SC_MAX // tw)), 0, -1):
+        if d % dc == 0 and (dc * tw) % 128 == 0:
+            return dc
+    return d
+
+
+def make_quad_table_2d(image: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] features -> zeros-padded 2-D quad table
+    [B, H+pad, W+pad, 4C] with Q[y, x] = (I[y-1,x-1], I[y-1,x], I[y,x-1],
+    I[y,x]) on the zero-ring image, i.e. Q[y, x] = 2x2 neighborhood at
+    (y-1, x-1): row y of the table corresponds to quad row index
+    (y0 + 1) as used by ops.quad_sample.quad_coords (zeros mode).
+
+    Rows/cols are padded so any (8/16)-quantized window origin plus
+    (HWIN, WWIN) stays in bounds.
+    """
+    b, h, w, c = image.shape
+    img = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [
+            img[:, : h + 1, : w + 1],
+            img[:, : h + 1, 1:],
+            img[:, 1:, : w + 1],
+            img[:, 1:, 1:],
+        ],
+        axis=-1,
+    )  # [B, H+1, W+1, 4C]
+    hq, wq = h + 1, w + 1
+    hq_pad = max(-(-hq // 8) * 8, HWIN)
+    wq_pad = -(-wq // 16) * 16
+    return jnp.pad(quad, ((0, 0), (0, hq_pad - hq), (0, wq_pad - wq), (0, 0)))
+
+
+def _tile_coords(a: jnp.ndarray, cfg: WindowConfig):
+    """[B, D, H, W] -> [B, TY, TX, th, D*TW] with lanes ordered (d, px)."""
+    b, d, h, w = a.shape
+    a = a.reshape(b, d, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    return jnp.transpose(a, (0, 2, 4, 3, 1, 5)).reshape(
+        b, cfg.ty, cfg.tx, cfg.th, d * cfg.tw
+    )
+
+
+def _quad_cells(ix, iy, height, width):
+    """Quad-table cell coords + validity, matching quad_coords zeros mode."""
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    qx = jnp.clip(x0f, -1, width - 1).astype(jnp.int32) + 1
+    qy = jnp.clip(y0f, -1, height - 1).astype(jnp.int32) + 1
+    valid = (x0f >= -1) & (x0f <= width - 1) & (y0f >= -1) & (y0f <= height - 1)
+    return qx, qy, valid
+
+
+def _origins(ix, iy, cfg: WindowConfig, height, width, table_h, table_w):
+    """Per-tile window origins + per-(tile, ref row) band starts.
+
+    Returns (oy [B*TY*TX], ox [B*TY*TX], r0 [B*TY*TX*TH]) int32, with oy
+    quantized to 8 rows, ox to 16 cols, r0 relative to oy in [0, HWIN-HBAND].
+    """
+    b, d, h, w = ix.shape
+    qx, qy, valid = _quad_cells(ix, iy, height, width)
+    big = jnp.int32(1 << 20)
+    # min over d first (contiguous), then tiled spatial mins as reduce_window
+    # (a reshaped strided reduce lowers to slow dynamic-slice loops)
+    qx_d = jnp.min(jnp.where(valid, qx, big), axis=1)  # [B, H, W]
+    qy_d = jnp.min(jnp.where(valid, qy, big), axis=1)
+
+    def _tile_min(a, wy, wx):
+        return jax.lax.reduce_window(
+            a, big, jax.lax.min,
+            window_dimensions=(1, wy, wx),
+            window_strides=(1, wy, wx),
+            padding="VALID",
+        )
+
+    oy = _tile_min(qy_d, cfg.th, cfg.tw)  # [B, TY, TX]
+    ox = _tile_min(qx_d, cfg.th, cfg.tw)
+    oy = jnp.clip(oy, 0, max(table_h - HWIN, 0)) & ~7
+    ox = jnp.clip(ox, 0, max(table_w - cfg.wwin, 0)) & ~15
+    r0 = _tile_min(qy_d, 1, cfg.tw)  # [B, H, TX]
+    r0 = r0.reshape(b, cfg.ty, cfg.th, cfg.tx) - oy[:, :, None, :]
+    r0 = jnp.clip(r0, 0, HWIN - cfg.hband)
+    r0 = jnp.transpose(r0, (0, 1, 3, 2))  # [B, TY, TX, th]
+    return oy.reshape(-1), ox.reshape(-1), r0.reshape(-1)
+
+
+def _pad_spatial(ix, iy, ref_feature, cfg: WindowConfig):
+    """Edge-pad coords (so window origins see valid positions) and zero-pad
+    ref features to the tiled (hp, wp) geometry."""
+    b, d, h, w = ix.shape
+    if (cfg.hp, cfg.wp) == (h, w):
+        return ix, iy, ref_feature
+    pad = ((0, 0), (0, 0), (0, cfg.hp - h), (0, cfg.wp - w))
+    ix = jnp.pad(ix, pad, mode="edge")
+    iy = jnp.pad(iy, pad, mode="edge")
+    if ref_feature is not None:
+        ref_feature = jnp.pad(
+            ref_feature,
+            ((0, 0), (0, cfg.hp - h), (0, cfg.wp - w), (0, 0)),
+        )
+    return ix, iy, ref_feature
+
+
+def escape_count(ix, iy, cfg: WindowConfig, height, width, table_h, table_w):
+    """Number of valid samples the windowed kernel would zero out (coverage
+    diagnostic; 0 means the windowed path is exactly the gather path).
+    `height`/`width` are the TRUE image dims; coords may be unpadded."""
+    ix, iy, _ = _pad_spatial(ix, iy, None, cfg)
+    b, d, h, w = ix.shape
+    qx, qy, valid = _quad_cells(ix, iy, height, width)
+    oy, ox, r0 = _origins(ix, iy, cfg, height, width, table_h, table_w)
+    oy = oy.reshape(b, cfg.ty, 1, cfg.tx, 1)
+    ox = ox.reshape(b, cfg.ty, 1, cfg.tx, 1)
+    r0 = r0.reshape(b, cfg.ty, cfg.tx, cfg.th)
+    r0 = jnp.transpose(r0, (0, 1, 3, 2))[:, :, :, :, None]  # [B, TY, th, TX, 1]
+    qx = qx.reshape(b, d, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    qy = qy.reshape(b, d, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    valid = valid.reshape(b, d, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    ry = qy - (oy + r0)[:, None]
+    rx = qx - ox[:, None]
+    inside = (ry >= 0) & (ry < cfg.hband) & (rx >= 0) & (rx < cfg.wwin)
+    return jnp.sum(valid & ~inside)
+
+
+def _bilinear_weights(ix, iy, height, width):
+    """Zeros-mode bilinear tap weights (f32), matching quad_coords."""
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    fx = (ix - x0f).astype(jnp.float32)
+    fy = (iy - y0f).astype(jnp.float32)
+    x0v = ((x0f >= 0) & (x0f <= width - 1)).astype(jnp.float32)
+    x1v = ((x0f >= -1) & (x0f <= width - 2)).astype(jnp.float32)
+    y0v = ((y0f >= 0) & (y0f <= height - 1)).astype(jnp.float32)
+    y1v = ((y0f >= -1) & (y0f <= height - 2)).astype(jnp.float32)
+    w00 = (1 - fx) * (1 - fy) * x0v * y0v
+    w01 = fx * (1 - fy) * x1v * y0v
+    w10 = (1 - fx) * fy * x0v * y1v
+    w11 = fx * fy * x1v * y1v
+    return w00, w01, w10, w11
+
+
+def _kernel(cfg, c: int, g: int,
+            oy_ref, ox_ref, r0_ref, cxy_ref, ref_ref, win_ref, gm_ref, out_ref):
+    c4 = 4 * c
+    k = cfg.hband * cfg.wwin
+    t = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)) * pl.num_programs(2) + pl.program_id(2)
+    oy = oy_ref[t]
+    ox = ox_ref[t]
+    j_lin = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    gm = gm_ref[:]  # [C, G] f32
+
+    d = cxy_ref.shape[-1] // cfg.tw
+    dc = _d_chunk(d, cfg.tw)
+    sc = dc * cfg.tw
+    for rr in range(cfg.th):
+        r0 = r0_ref[t * cfg.th + rr]
+        band = win_ref[0, pl.ds(r0, cfg.hband)]  # [HBAND, WWIN, C4]
+        band_flat = band.reshape(k, c4)
+        for ch in range(d // dc):
+            sl = slice(ch * sc, (ch + 1) * sc)
+            ix = cxy_ref[0, 0, 0, 0, rr, sl]  # [SC] f32
+            iy = cxy_ref[0, 1, 0, 0, rr, sl]
+            w00, w01, w10, w11 = _bilinear_weights(ix, iy, cfg.img_h, cfg.img_w)
+            x0f = jnp.floor(ix)
+            y0f = jnp.floor(iy)
+            qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
+            qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
+            # one-hot as a SINGLE compare against the linearized in-window
+            # index (row, col folded): out-of-band rows fall outside [0, K)
+            # on their own; out-of-window cols must be forced to -1 so they
+            # cannot alias into an adjacent row. Halves the VPU work of the
+            # [K, SC] one-hot build vs a 2-compare + AND formulation.
+            ry = qy - r0
+            li = jnp.where((qx >= 0) & (qx < cfg.wwin), ry * cfg.wwin + qx, -1)
+            h = (j_lin == li[None, :]).astype(jnp.bfloat16)
+            taps = jax.lax.dot_general(
+                band_flat, h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C4, SC]
+            warped = (taps[0 * c:1 * c] * w00[None, :]
+                      + taps[1 * c:2 * c] * w01[None, :]
+                      + taps[2 * c:3 * c] * w10[None, :]
+                      + taps[3 * c:4 * c] * w11[None, :])  # [C, SC]
+            ref_rep = pltpu.repeat(ref_ref[0, 0, 0, rr].astype(jnp.float32), dc, axis=1)
+            prod = warped * ref_rep
+            sim = jax.lax.dot_general(
+                gm, prod, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, SC]
+            out_ref[0, :, 0, 0, rr, sl] = sim
+
+
+def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
+                     img_h: int, img_w: int):
+    b, d, h, w = ix.shape  # padded dims
+    _, table_h, table_w, c4 = quad2d.shape
+    c = c4 // 4
+    g = gm.shape[1]
+    s = d * cfg.tw
+
+    oy, ox, r0 = _origins(ix, iy, cfg, img_h, img_w, table_h, table_w)
+    cxy = jnp.stack([_tile_coords(ix, cfg), _tile_coords(iy, cfg)], axis=1)
+    # ref features channels-on-sublane per tile: [B, TY, TX, th, C, TW]
+    ref_t = ref_feature.reshape(b, cfg.ty, cfg.th, cfg.tx, cfg.tw, c)
+    ref_t = jnp.transpose(ref_t, (0, 1, 3, 2, 5, 4))
+
+    # dims the kernel needs beyond the config tuple
+    class _Cfg(NamedTuple):
+        th: int
+        tw: int
+        ty: int
+        tx: int
+        wwin: int
+        hband: int
+        hp: int
+        wp: int
+        img_h: int
+        img_w: int
+
+    kcfg = _Cfg(*cfg, img_h, img_w)
+
+    E = pallas_core.Element
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, cfg.ty, cfg.tx),
+        in_specs=[
+            pl.BlockSpec((1, 2, 1, 1, cfg.th, s),
+                         lambda bb, ty, tx, *_: (bb, 0, ty, tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cfg.th, c, cfg.tw),
+                         lambda bb, ty, tx, *_: (bb, ty, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (E(1), E(HWIN), E(cfg.wwin), E(c4)),
+                lambda bb, ty, tx, oy_s, ox_s, r0_s: (
+                    bb,
+                    pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),
+                    pl.multiple_of(ox_s[(bb * cfg.ty + ty) * cfg.tx + tx], 16),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, g), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, 1, 1, cfg.th, s),
+                               lambda bb, ty, tx, *_: (bb, 0, ty, tx, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, kcfg, c, g),
+        out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
+        grid_spec=grid_spec,
+    )(oy, ox, r0, cxy, ref_t, quad2d, gm)
+    # [B, G, TY, TX, th, (D, TW)] -> [B, G, D, H, W]
+    out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
+    out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
+    return out.reshape(b, g, d, h, w)
+
+
+def _jnp_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
+                  img_h: int, img_w: int):
+    """Pure-jnp emulation with identical window/band/escape semantics.
+
+    Used on non-TPU backends and as the test oracle. Escaped samples
+    contribute zero, exactly as in the kernel.
+    """
+    b, d, h, w = ix.shape  # padded dims
+    _, table_h, table_w, c4 = quad2d.shape
+    c = c4 // 4
+    qx, qy, valid = _quad_cells(ix, iy, img_h, img_w)
+    oy, ox, r0 = _origins(ix, iy, cfg, img_h, img_w, table_h, table_w)
+    oy_f = jnp.repeat(jnp.repeat(oy.reshape(b, cfg.ty, cfg.tx), cfg.th, 1).reshape(
+        b, cfg.ty * cfg.th, cfg.tx), cfg.tw, 2).reshape(b, 1, h, w)
+    ox_f = jnp.repeat(jnp.repeat(ox.reshape(b, cfg.ty, cfg.tx), cfg.th, 1).reshape(
+        b, cfg.ty * cfg.th, cfg.tx), cfg.tw, 2).reshape(b, 1, h, w)
+    r0_f = r0.reshape(b, cfg.ty, cfg.tx, cfg.th)
+    r0_f = jnp.transpose(r0_f, (0, 1, 3, 2))
+    r0_f = jnp.repeat(r0_f.reshape(b, h, cfg.tx), cfg.tw, 2).reshape(b, 1, h, w)
+    ry = qy - (oy_f + r0_f)
+    rx = qx - ox_f
+    inside = (ry >= 0) & (ry < cfg.hband) & (rx >= 0) & (rx < cfg.wwin)
+    flat = quad2d.reshape(b, table_h * table_w, c4)
+    lin = jnp.clip(qy, 0, table_h - 1) * table_w + jnp.clip(qx, 0, table_w - 1)
+    rows = jnp.take_along_axis(
+        flat, lin.reshape(b, -1)[..., None], axis=1, mode="promise_in_bounds"
+    ).reshape(b, d, h, w, c4)
+    w00, w01, w10, w11 = _bilinear_weights(ix, iy, img_h, img_w)
+    zero = jnp.float32(0)
+    m = inside[..., None]
+    warped = jnp.where(
+        m,
+        rows[..., 0 * c:1 * c] * w00[..., None]
+        + rows[..., 1 * c:2 * c] * w01[..., None]
+        + rows[..., 2 * c:3 * c] * w10[..., None]
+        + rows[..., 3 * c:4 * c] * w11[..., None],
+        zero,
+    )
+    prod = warped * ref_feature[:, None].astype(jnp.float32)
+    return jnp.einsum(
+        "bdhwc,cg->bgdhw", prod, gm.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon") or "TPU" in jax.devices()[0].device_kind
+    except Exception:
+        return False
+
+
+def windowed_group_similarity(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig):
+    """Fused warp-sample + group-similarity over a 2-D quad table.
+
+    Args:
+        quad2d: [B, Ht, Wt, 4C] padded table from make_quad_table_2d (bf16
+            storage for the Pallas path).
+        ix / iy: [B, D, H, W] unnormalized source-pixel sample coordinates
+            (align_corners=True convention, may be off-image).
+        ref_feature: [B, H, W, C] reference features.
+        gm: [C, G] f32 group-mean matrix.
+    Returns:
+        [B, G, D, H, W] f32 similarity volume (per view, unweighted).
+    """
+    _, _, img_h, img_w = ix.shape
+    ix, iy, ref_feature = _pad_spatial(ix, iy, ref_feature, cfg)
+    if (
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or not on_tpu()
+        or (ix.shape[1] * cfg.tw) % 128 != 0
+    ):
+        out = _jnp_windowed(quad2d, ix, iy, ref_feature, gm, cfg, img_h, img_w)
+    else:
+        out = _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg, img_h, img_w)
+    return out[:, :, :, :img_h, :img_w]

@@ -97,6 +97,25 @@ def differentiable_warp(
     return grid_sample_2d(src_fea, grid, align_corners=True, padding_mode="zeros")
 
 
+def warp_pixel_coords(
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_samples: jnp.ndarray,
+    src_height: int,
+    src_width: int,
+):
+    """Unnormalized source-pixel sample coordinates for the warp.
+
+    Returns (ix, iy) [B, D, H, W] f32 in align_corners=True pixel units
+    (off-image for behind-camera samples, unclamped). For the windowed
+    sampling kernel (ops/pallas/windowed_similarity.py).
+    """
+    grid = warp_grid(src_proj, ref_proj, depth_samples, src_height, src_width)
+    ix = (grid[..., 0] + 1.0) * 0.5 * (src_width - 1)
+    iy = (grid[..., 1] + 1.0) * 0.5 * (src_height - 1)
+    return ix, iy
+
+
 def warp_coords(
     src_quad: "QuadImage",
     src_proj: jnp.ndarray,
