@@ -355,14 +355,21 @@ class Evaluation(nn.Module):
         # separately and summing equals sampling x exactly (the sampler
         # accumulates in f32).
         ref_sg = jax.lax.stop_gradient(ref_feature)
-        # Experimental: the fused eval-score kernel (ops/pallas/eval_score.py)
-        # avoids the [B, Ke, H, W, D] intermediate but measured ~20 ms/map
-        # SLOWER than the joint eval-grid gather at the DTU bench config
-        # (its taps still round-trip HBM and the Ke-grid dispatch adds
-        # overhead); off by default until it wins.
-        if sampler == "windowed" and os.environ.get(
-            "PATCHMATCHNET_TPU_EVAL_FUSED", "0"
-        ) == "1":
+        # Experimental fused eval-score kernel (ops/pallas/eval_score.py):
+        # replaces the [B, Ke, H, W, D] materialization + layout glue with
+        # one u16 quad gather + a Pallas aggregation. Measured ~4 ms/map
+        # SLOWER than the unfused path even in its best configuration
+        # (D=8-only, 128 B payload, blocked ke-inside grid): the gathered
+        # quad taps still round-trip HBM (~570 MB/fwd at stage 1), which
+        # costs more than the glue it removes. Off by default; kept for
+        # chips with better gather/HBM ratios.
+        eval_fused = (
+            sampler == "windowed"
+            and os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED", "0") == "1"
+            and num_depth
+            <= int(os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED_MAX_D", "8"))
+        )
+        if eval_fused:
             # Fused inference path: one uint16 quad gather (x_norm as 16-bit
             # fixed point — same 2^-17 error as the hi/lo pair — and cost as
             # bf16 bits) + a Pallas kernel doing bilinear combine, depth

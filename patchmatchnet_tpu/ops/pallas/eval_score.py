@@ -4,26 +4,25 @@ The spatial-aggregation step of PatchMatch evaluation (reference:
 models/patchmatch.py:569-575 cost sampling, 627-669 depth weight, 655-661
 aggregation) samples a per-pixel [x_norm | cost] image at Ke learned
 neighbor positions, weights by depth similarity x feature weight, and
-reduces over neighbors. Done naively on TPU this materializes a
-[B, Ke, H, W, D] volume (~200 MB at the DTU eval config) plus gather
-payloads with x_norm carried as a bf16 hi/lo pair (x differences are
-amplified 1/interval_scale ~ 200x downstream, so plain bf16 is too coarse).
+reduces over neighbors. The unfused XLA path materializes a
+[B, Ke, H, W, D] volume plus serial while-loop layout conversions
+(~12 ms/fwd of glue at the DTU stage 1 alone, see PROGRESS.md).
 
-This path packs everything into ONE uint16 gather + ONE Pallas kernel:
+This path packs everything into ONE uint16 quad gather + ONE Pallas kernel:
 
 - x_norm in [0, 1] is stored as 16-bit fixed point (error 2^-17, the same
-  as the hi/lo pair) and the SimilarityNet cost as bf16 BITS — one uint16
-  table of 2D channels, quad-expanded (ops/quad_sample.py) so a single
-  gather index fetches the 2x2 bilinear neighborhood.
-- The kernel decodes taps, combines bilinearly in f32, computes the depth
-  weight sigmoid against the center x_norm, multiplies by the feature
-  weight, and accumulates the neighbor reduction in VMEM scratch — only
-  the final score [B, HW, D] (num/den) is written to HBM.
-
-Unlike the windowed warp sampler, this path works for ARBITRARY neighbor
-offsets (the stage-1 eval offsets reach +-26 px with per-pixel variation —
-measured too wild for tile windows), because the gather stays a real XLA
-gather; only the downstream aggregation is fused.
+  as the unfused path's bf16 hi/lo pair) and the SimilarityNet cost as bf16
+  BITS — one uint16 table of 2D channels, quad-expanded (ops/quad_sample.py)
+  so a single gather index fetches the 2x2 bilinear neighborhood. At D=8
+  (DTU stage 1) the quad payload is 128 B — under the large-table gather
+  payload cliff (~256 B, PROGRESS.md chip table); at D>=16 it sits on or
+  over the cliff, so the fused path is gated per stage.
+- One grid step covers a block of pixels with ALL Ke neighbors resident
+  ([ke, T, 8D] block); the Ke reduction is an in-kernel fori_loop so the
+  decode temporaries are REUSED across neighbors — an unrolled loop's
+  lane-padded [T, D] temporaries (D=8 pads 16x to 128 lanes) blow the
+  16 MB scoped-VMEM stack. Bilinear weights are computed in-kernel from
+  fractional coordinates.
 
 score = sum_k w_k c_k / sum_k w_k equals the reference's
 normalize-then-sum algebraically; floating-point association differs by
@@ -62,116 +61,108 @@ def _decode_tap(tap_u16: jnp.ndarray, d: int):
 
 def _grid_pixel_coords(grid: jnp.ndarray, height: int, width: int):
     """[B, Ke, H, W, 2] normalized (align_corners=False) -> border-clamped
-    pixel coords ix, iy [B, Ke*H*W] f32."""
-    b = grid.shape[0]
-    g2 = grid.reshape(b, -1, 2)
+    pixel coords ix, iy [B, Ke, H*W] f32."""
+    b, ke = grid.shape[:2]
+    g2 = grid.reshape(b, ke, -1, 2)
     ix = ((g2[..., 0] + 1.0) * width - 1.0) * 0.5
     iy = ((g2[..., 1] + 1.0) * height - 1.0) * 0.5
     return jnp.clip(ix, 0.0, width - 1), jnp.clip(iy, 0.0, height - 1)
 
 
 def _border_cells(ix, iy, height, width):
-    """Border-mode quad cells + tap weights (matches quad_coords border)."""
+    """Border-mode quad cells + fractional offsets (matches quad_coords
+    border semantics)."""
     x0 = jnp.clip(jnp.floor(ix), 0, width - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(iy), 0, height - 2).astype(jnp.int32)
-    wx = (ix - x0).astype(jnp.float32)
-    wy = (iy - y0).astype(jnp.float32)
+    fx = (ix - x0).astype(jnp.float32)
+    fy = (iy - y0).astype(jnp.float32)
     idx = y0 * width + x0
-    w4 = jnp.stack(
-        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=-1
-    )  # [B, P, 4]
-    return idx, w4
+    return idx, fx, fy
+
+
+def _combine(tap, fx, fy, d):
+    """One neighbor's bilinear x/cost combine: tap [T, 8D] u16,
+    fx/fy [T, 1] f32 -> (x_smp, cost) [T, D] f32."""
+    w = (
+        (1.0 - fx) * (1.0 - fy),
+        fx * (1.0 - fy),
+        (1.0 - fx) * fy,
+        fx * fy,
+    )
+    x_smp = None
+    cost = None
+    for j in range(4):
+        xj, cj = _decode_tap(tap[..., j * 2 * d:(j + 1) * 2 * d], d)
+        x_smp = xj * w[j] if x_smp is None else x_smp + xj * w[j]
+        cost = cj * w[j] if cost is None else cost + cj * w[j]
+    return x_smp, cost
 
 
 def _kernel(d: int, ke: int, inv_interval: float,
-            taps_ref, w4_ref, xc_ref, fw_ref, out_ref, num_ref, den_ref):
-    k = pl.program_id(2)
-    taps = taps_ref[0]  # [T, 8D] u16
-    x_smp = jnp.zeros(xc_ref.shape[1:], jnp.float32)
-    cost = jnp.zeros_like(x_smp)
-    for j in range(4):
-        xj, cj = _decode_tap(taps[:, j * 2 * d:(j + 1) * 2 * d], d)
-        wj = w4_ref[0, :, j][:, None]
-        x_smp = x_smp + xj * wj
-        cost = cost + cj * wj
+            taps_ref, fxy_ref, xc_ref, fw_ref, out_ref):
     xc = xc_ref[0]  # [T, D] f32
-    diff = jnp.abs(x_smp - xc) * inv_interval
-    dw = jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
-    # select column k of the [T, Ke] feature-weight block without a dynamic
-    # lane slice (Mosaic cannot prove 128-alignment for pl.ds(k, 1))
-    fwb = fw_ref[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, fwb.shape, 1)
-    fwk = jnp.sum(jnp.where(lane == k, fwb, 0.0), axis=1, keepdims=True)
-    w = dw * fwk
-    wc = w * cost
 
-    @pl.when(k == 0)
-    def _():
-        num_ref[:] = wc
-        den_ref[:] = w
+    def body(k, carry):
+        num, den = carry
+        tap = taps_ref[0, k]      # [T, 8D] u16 (dynamic index on untiled dim)
+        fxy = fxy_ref[0, k]       # [T, 2] f32
+        fx = fxy[:, 0:1]
+        fy = fxy[:, 1:2]
+        x_smp, cost = _combine(tap, fx, fy, d)
+        diff = jnp.abs(x_smp - xc) * inv_interval
+        dw = jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
+        wk = dw * fw_ref[0, k]    # [T, 1] broadcast over D
+        return num + wk * cost, den + wk
 
-    @pl.when(k > 0)
-    def _():
-        num_ref[:] = num_ref[:] + wc
-        den_ref[:] = den_ref[:] + w
-
-    @pl.when(k == ke - 1)
-    def _():
-        out_ref[0] = num_ref[:] / den_ref[:]
+    zero = jnp.zeros(xc.shape, jnp.float32)
+    num, den = jax.lax.fori_loop(0, ke, body, (zero, zero))
+    out_ref[0] = num / den
 
 
-def _pallas_score(taps, w4, xc, fw, inv_interval, d, ke, t):
-    b, p, _ = taps.shape
-    hw = p // ke
-    nblk = hw // t
-    grid = (b, nblk, ke)
+def _block_rows(d: int, ke: int) -> int:
+    # taps block = ke * T * 8d u16. The binding constraint is the scoped
+    # VMEM stack: the loop body's lane-padded [T, D] temporaries cost
+    # T*128*4 bytes each regardless of D (measured 24.5 MB at T=1024, D=8).
+    target = 1024 * 1024
+    t = max(256, min(2048, target // (ke * 8 * d * 2)))
+    return 1 << (t.bit_length() - 1)  # floor to a power of two
+
+
+def _pallas_score(taps, fxy, xc, fw, inv_interval, d, ke, t):
+    b, _, hwp, _ = taps.shape
+    nblk = hwp // t
     return pl.pallas_call(
         functools.partial(_kernel, d, ke, inv_interval),
-        out_shape=jax.ShapeDtypeStruct((b, hw, d), jnp.float32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((b, hwp, d), jnp.float32),
+        grid=(b, nblk),
         in_specs=[
-            pl.BlockSpec((1, t, 8 * d), lambda bb, blk, k: (bb, k * nblk + blk, 0),
+            pl.BlockSpec((1, ke, t, 8 * d), lambda bb, blk: (bb, 0, blk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, 4), lambda bb, blk, k: (bb, k * nblk + blk, 0),
+            pl.BlockSpec((1, ke, t, 2), lambda bb, blk: (bb, 0, blk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda bb, blk, k: (bb, blk, 0),
+            pl.BlockSpec((1, t, d), lambda bb, blk: (bb, blk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, ke), lambda bb, blk, k: (bb, blk, 0),
+            pl.BlockSpec((1, ke, t, 1), lambda bb, blk: (bb, 0, blk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda bb, blk, k: (bb, blk, 0),
+        out_specs=pl.BlockSpec((1, t, d), lambda bb, blk: (bb, blk, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((t, d), jnp.float32),
-            pltpu.VMEM((t, d), jnp.float32),
-        ],
-    )(taps, w4, xc, fw)
+    )(taps, fxy, xc, fw)
 
 
-def _jnp_score(taps, w4, xc, fw, inv_interval, d, ke):
-    """Reference combine with identical numerics structure (CPU path)."""
-    b, p, _ = taps.shape
-    hw = p // ke
-    x_smp = jnp.zeros((b, p, d), jnp.float32)
-    cost = jnp.zeros((b, p, d), jnp.float32)
-    for j in range(4):
-        xj, cj = _decode_tap(taps[..., j * 2 * d:(j + 1) * 2 * d], d)
-        wj = w4[..., j][..., None]
-        x_smp = x_smp + xj * wj
-        cost = cost + cj * wj
-    xc_rep = jnp.tile(xc, (1, ke, 1))
-    diff = jnp.abs(x_smp - xc_rep) * inv_interval
+def _jnp_score(taps, fxy, xc, fw, inv_interval, d, ke):
+    """Reference combine with identical numerics structure (CPU path).
+
+    taps [B, Ke, HWP, 8D] u16, fxy [B, Ke, HWP, 2] f32, xc [B, HWP, D] f32,
+    fw [B, Ke, HWP, 1] f32.
+    """
+    fx = fxy[..., 0:1]
+    fy = fxy[..., 1:2]
+    x_smp, cost = _combine(taps, fx, fy, d)
+    diff = jnp.abs(x_smp - xc[:, None]) * inv_interval
     dw = jax.nn.sigmoid(4.0 - 2.0 * jnp.clip(diff, 0.0, 4.0))
-    w = dw * fw.reshape(b, p, 1)
-    num = jnp.sum(w.reshape(b, ke, hw, d) * cost.reshape(b, ke, hw, d), axis=1)
-    den = jnp.sum(w.reshape(b, ke, hw, d), axis=1)
-    return num / den
-
-
-def _block_rows(d: int) -> int:
-    # sized to the 16 MB scoped-VMEM stack: the decode loop's per-tap
-    # widen/bitcast intermediates scale with t*d
-    return 1024
+    wk = dw * fw
+    return jnp.sum(wk * cost, axis=1) / jnp.sum(wk, axis=1)
 
 
 def eval_grid_score(
@@ -198,31 +189,29 @@ def eval_grid_score(
 
     joint = _pack_joint_u16(jax.lax.stop_gradient(x_norm_img), cost_img)
     quad = make_quad_image(joint, "border")  # [B, HW, 8D] u16
-    ix, iy = _grid_pixel_coords(grid, h, w)
-    idx, w4 = _border_cells(ix, iy, h, w)  # [B, Ke*HW], [B, Ke*HW, 4]
+    ix, iy = _grid_pixel_coords(grid, h, w)  # [B, Ke, HW]
+    idx, fx, fy = _border_cells(ix, iy, h, w)
 
-    t = _block_rows(d)
+    fxy = jnp.stack([fx, fy], axis=-1)        # [B, Ke, HW, 2]
+    fw = feature_weight.reshape(b, ke, hw, 1)
+    xc = x_norm_img.reshape(b, hw, d)
+
+    t = _block_rows(d, ke)
     hwp = -(-hw // t) * t
     if hwp != hw:
-        padp = ((0, 0), (0, 0), (0, hwp - hw))
-        idx = jnp.pad(idx.reshape(b, ke, hw), padp).reshape(b, -1)
-        w4 = jnp.pad(
-            w4.reshape(b, ke, hw, 4), padp + ((0, 0),)
-        ).reshape(b, -1, 4)
-
-    taps = _gather_rows(quad, idx)  # [B, Ke*HWP, 8D] u16
-    xc = x_norm_img.reshape(b, hw, d)
-    fw = jnp.moveaxis(feature_weight.reshape(b, ke, hw), 1, 2)  # [B, HW, Ke]
-    if hwp != hw:
+        p3 = ((0, 0), (0, 0), (0, hwp - hw))
+        idx = jnp.pad(idx, p3)
+        fxy = jnp.pad(fxy, p3 + ((0, 0),))
+        fw = jnp.pad(fw, p3 + ((0, 0),), constant_values=1.0)
         xc = jnp.pad(xc, ((0, 0), (0, hwp - hw), (0, 0)))
-        fw = jnp.pad(fw, ((0, 0), (0, hwp - hw), (0, 0)), constant_values=1.0)
+
+    taps = _gather_rows(quad, idx.reshape(b, -1)).reshape(b, ke, hwp, 8 * d)
 
     inv_interval = 1.0 / interval_scale
     from patchmatchnet_tpu.ops.pallas.windowed_similarity import on_tpu
 
     if os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS") or not on_tpu():
-        score = _jnp_score(taps, w4, xc, fw.transpose(0, 2, 1).reshape(b, -1),
-                           inv_interval, d, ke)
+        score = _jnp_score(taps, fxy, xc, fw, inv_interval, d, ke)
     else:
-        score = _pallas_score(taps, w4, xc, fw, inv_interval, d, ke, t)
+        score = _pallas_score(taps, fxy, xc, fw, inv_interval, d, ke, t)
     return score[:, :hw].reshape(b, h, w, d)

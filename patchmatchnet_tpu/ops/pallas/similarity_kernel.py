@@ -171,6 +171,111 @@ def warped_group_similarity(taps, w4, ref, gm, num_depth):
     return _pallas_impl(taps, w4, ref, gm, num_depth)
 
 
+def _bwd_kernel(num_depth, taps_ref, w4_ref, ref_ref, gm_ref, dout_ref,
+                dtaps_ref, dw4_ref, dref_ref, dref_acc):
+    """Fused backward: one VMEM pass produces all three input cotangents.
+
+    d_prod = GM @ dout;  d_warped = d_prod * ref;
+    d_taps[j] = d_warped * w4[j];  d_w4[j] = <d_warped, taps[j]>_c;
+    d_ref = d_prod * warped (accumulated across the D grid steps that share
+    the reference block — d iterates fastest, same layout as the forward).
+    """
+    d = pl.program_id(2)
+    taps = taps_ref[0].astype(jnp.float32)  # [T, 4C]
+    w4 = jnp.transpose(w4_ref[0])  # [T, 4]
+    ref = ref_ref[0].astype(jnp.float32)  # [T, C]
+    dout = dout_ref[0]  # [G, T] f32
+    c = ref.shape[-1]
+    # d_prod[t, c] = sum_g dout[g, t] * gm[c, g]
+    d_prod = jax.lax.dot_general(
+        dout, gm_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, C]
+    d_warped = d_prod * ref
+    warped = (
+        taps[:, 0 * c : 1 * c] * w4[:, 0:1]
+        + taps[:, 1 * c : 2 * c] * w4[:, 1:2]
+        + taps[:, 2 * c : 3 * c] * w4[:, 2:3]
+        + taps[:, 3 * c : 4 * c] * w4[:, 3:4]
+    )
+
+    @pl.when(d == 0)
+    def _():
+        dref_acc[:] = d_prod * warped
+
+    @pl.when(d > 0)
+    def _():
+        dref_acc[:] = dref_acc[:] + d_prod * warped
+
+    @pl.when(d == num_depth - 1)
+    def _():
+        dref_ref[0] = dref_acc[:].astype(dref_ref.dtype)
+
+    for j in range(4):
+        dtaps_ref[0, :, j * c : (j + 1) * c] = (
+            d_warped * w4[:, j : j + 1]
+        ).astype(dtaps_ref.dtype)
+    # d_w4[j, t] = sum_c d_warped[t, c] * taps[t, jC + c]: a lane reduction
+    # per tap would land [T, 1]-shaped (needing a transpose to reach the
+    # lane-dense [4, T] output block), so realize it as one MXU contraction
+    # with a 0/1 tap-selection matrix S[c4, j] = (c4 // C == j).
+    m = taps * pltpu.repeat(d_warped, 4, axis=1)  # [T, 4C]
+    c4 = 4 * c
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (c4, 4), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (c4, 4), 1)
+    ).astype(jnp.float32)
+    dw4_ref[0] = jax.lax.dot_general(
+        sel, m, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [4, T]
+
+
+def _pallas_bwd(taps, w4, ref, gm, dout, num_depth):
+    b, p, c4 = taps.shape
+    c = ref.shape[-1]
+    g = gm.shape[1]
+    hwp = p // num_depth
+    # in+out traffic is ~2x the forward's; halve the tile budget accordingly
+    tile = _tile_rows(hwp, c4, c, 2 * max(taps.dtype.itemsize, 2))
+    nj = hwp // tile
+    grid = (b, nj, num_depth)
+    interpret = jax.default_backend() == "cpu"
+    dtaps, dw4, dref = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_depth),
+        out_shape=(
+            jax.ShapeDtypeStruct(taps.shape, taps.dtype),
+            jax.ShapeDtypeStruct(w4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ref.shape, ref.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, c4), lambda bi, j, d: (bi, d * nj + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile), lambda bi, j, d: (bi, 0, d * nj + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bi, j, d: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, g), lambda bi, j, d: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, tile), lambda bi, j, d: (bi, 0, d * nj + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, c4), lambda bi, j, d: (bi, d * nj + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tile), lambda bi, j, d: (bi, 0, d * nj + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bi, j, d: (bi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((tile, c), jnp.float32)],
+        interpret=interpret,
+    )(taps, w4, ref, gm, dout)
+    return dtaps, dw4.astype(w4.dtype), dref
+
+
 def _fwd(taps, w4, ref, gm, num_depth):
     out = warped_group_similarity(taps, w4, ref, gm, num_depth)
     return out, (taps, w4, ref, gm)
@@ -178,10 +283,18 @@ def _fwd(taps, w4, ref, gm, num_depth):
 
 def _bwd(num_depth, residuals, grad_out):
     taps, w4, ref, gm = residuals
-    _, vjp = jax.vjp(
-        lambda t, w, r, m: _jnp_impl(t, w, r, m, num_depth), taps, w4, ref, gm
-    )
-    return vjp(grad_out)
+    if (
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or os.environ.get("PATCHMATCHNET_TPU_JNP_BWD")
+        or (taps.shape[1] // num_depth) % 128 != 0
+    ):
+        _, vjp = jax.vjp(
+            lambda t, w, r, m: _jnp_impl(t, w, r, m, num_depth), taps, w4, ref, gm
+        )
+        return vjp(grad_out)
+    dtaps, dw4, dref = _pallas_bwd(taps, w4, ref, gm, grad_out, num_depth)
+    # gm is a constant group-mean matrix; its cotangent is never used
+    return dtaps, dw4, dref, jnp.zeros_like(gm)
 
 
 warped_group_similarity.defvjp(_fwd, _bwd)

@@ -50,7 +50,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas import core as pallas_core  # Element block dims
 
-HWIN = 24       # window rows: tile y-extent (~12 measured) + 8-row origin quantization
+HWIN_MAX = 48   # table row padding covers any th <= 32 (hwin = th + 16)
+TH_DEFAULT = 8  # ref rows per tile; higher cuts grid steps, grows windows
 HBAND_DEFAULT = 6   # band rows per (ref row, all d); env-overridable
 TW_DEFAULT = 48     # preferred tile width; narrower tiles keep the epipolar
                     # tilt across a ref-row slab within the band (measured:
@@ -68,6 +69,7 @@ class WindowConfig(NamedTuple):
     hband: int   # band rows per ref row
     hp: int      # padded height (edge-padded coords; output sliced back)
     wp: int      # padded width
+    hwin: int    # window rows: tile y-extent + 8-row origin quantization + margin
 
 
 def choose_tile_width(width: int) -> int | None:
@@ -94,14 +96,15 @@ def make_config(height: int, width: int) -> WindowConfig | None:
     tw = choose_tile_width(width)
     if tw is None or height < 8:
         return None
-    th = 8
+    th = int(os.environ.get("PATCHMATCHNET_TPU_TH", TH_DEFAULT))
     hp = -(-height // th) * th
     wp = -(-width // tw) * tw
     # window cols: tile extent + bbox margin + 16-col origin quantization,
     # clamped to the (16-aligned) table width when the table is narrower
     wwin = min(tw + X_MARGIN * 2, -(-(width + 1) // 16) * 16)
     hband = int(os.environ.get("PATCHMATCHNET_TPU_HBAND", HBAND_DEFAULT))
-    return WindowConfig(th, tw, hp // th, wp // tw, wwin, hband, hp, wp)
+    hwin = th + 16
+    return WindowConfig(th, tw, hp // th, wp // tw, wwin, hband, hp, wp, hwin)
 
 
 def _d_chunk(d: int, tw: int) -> int:
@@ -135,7 +138,7 @@ def make_quad_table_2d(image: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )  # [B, H+1, W+1, 4C]
     hq, wq = h + 1, w + 1
-    hq_pad = max(-(-hq // 8) * 8, HWIN)
+    hq_pad = max(-(-hq // 8) * 8, HWIN_MAX)
     wq_pad = -(-wq // 16) * 16
     return jnp.pad(quad, ((0, 0), (0, hq_pad - hq), (0, wq_pad - wq), (0, 0)))
 
@@ -183,11 +186,11 @@ def _origins(ix, iy, cfg: WindowConfig, height, width, table_h, table_w):
 
     oy = _tile_min(qy_d, cfg.th, cfg.tw)  # [B, TY, TX]
     ox = _tile_min(qx_d, cfg.th, cfg.tw)
-    oy = jnp.clip(oy, 0, max(table_h - HWIN, 0)) & ~7
+    oy = jnp.clip(oy, 0, max(table_h - cfg.hwin, 0)) & ~7
     ox = jnp.clip(ox, 0, max(table_w - cfg.wwin, 0)) & ~15
     r0 = _tile_min(qy_d, 1, cfg.tw)  # [B, H, TX]
     r0 = r0.reshape(b, cfg.ty, cfg.th, cfg.tx) - oy[:, :, None, :]
-    r0 = jnp.clip(r0, 0, HWIN - cfg.hband)
+    r0 = jnp.clip(r0, 0, cfg.hwin - cfg.hband)
     r0 = jnp.transpose(r0, (0, 1, 3, 2))  # [B, TY, TX, th]
     return oy.reshape(-1), ox.reshape(-1), r0.reshape(-1)
 
@@ -323,6 +326,7 @@ def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
         hband: int
         hp: int
         wp: int
+        hwin: int
         img_h: int
         img_w: int
 
@@ -340,7 +344,7 @@ def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
                          lambda bb, ty, tx, *_: (bb, ty, tx, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (E(1), E(HWIN), E(cfg.wwin), E(c4)),
+                (E(1), E(cfg.hwin), E(cfg.wwin), E(c4)),
                 lambda bb, ty, tx, oy_s, ox_s, r0_s: (
                     bb,
                     pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),

@@ -55,6 +55,34 @@ def test_similarity_kernel_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
 
 
+@pytest.mark.parametrize("b,d,h,w,c,g", [(1, 3, 8, 16, 16, 4), (2, 2, 8, 32, 8, 4)])
+def test_similarity_kernel_pallas_backward(b, d, h, w, c, g):
+    """The fused Pallas backward (interpret mode on CPU) must match the
+    jnp-path VJP, with a non-uniform cotangent."""
+    rng = np.random.default_rng(2)
+    p = d * h * w
+    taps = jnp.asarray(rng.standard_normal((b, p, 4 * c)), jnp.float32)
+    w4 = jnp.asarray(rng.random((b, 4, p)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((b, h * w, c)), jnp.float32)
+    gm = np.zeros((c, g), np.float32)
+    cg = c // g
+    for gi in range(g):
+        gm[gi * cg : (gi + 1) * cg, gi] = 1.0 / cg
+    gm = jnp.asarray(gm)
+    cot = jnp.asarray(rng.standard_normal((b, g, p)), jnp.float32)
+
+    def run(t, wq, r):
+        return jnp.vdot(warped_group_similarity(t, wq, r, gm, d), cot)
+
+    def run_jnp(t, wq, r):
+        return jnp.vdot(_jnp_impl(t, wq, r, gm, d), cot)
+
+    g1 = jax.grad(run, argnums=(0, 1, 2))(taps, w4, ref)  # Pallas bwd (hw%128==0)
+    g2 = jax.grad(run_jnp, argnums=(0, 1, 2))(taps, w4, ref)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)
+
+
 def test_tile_rows_divides():
     for hw in (128, 15616, 62336, 248832 // 128 * 128 + 128):
         for esize in (2, 4):

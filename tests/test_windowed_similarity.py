@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
-    HWIN,
+    HWIN_MAX,
     WindowConfig,
     escape_count,
     make_config,
