@@ -40,6 +40,53 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
+def apply_batch_norm(
+    mod: nn.Module,
+    x: jnp.ndarray,
+    train: bool,
+    channel_axis: int = -1,
+    name: str = "bn",
+    dtype: Any = None,
+) -> jnp.ndarray:
+    """BatchNorm that FOLDS to one multiply-add at inference.
+
+    Training (and init) uses flax BatchNorm (batch-stat EMA updates, f32
+    normalization) with identical variable paths. At inference the running
+    stats fold into scale = gamma * rsqrt(var + eps) and
+    bias = beta - mean * scale, applied in the input dtype as a single
+    fused elementwise op — flax's BatchNorm instead converts the (bf16)
+    conv output to f32, normalizes, and converts back, three extra
+    full-resolution memory passes per layer (measured ~4x the bandwidth
+    floor on the feature extractor).
+
+    Numerics: x * scale + (beta - mean * scale) equals flax's
+    ((x - mean) * rsqrt(var + eps)) * gamma + beta up to FP association;
+    on the bf16 path the apply rounds in bf16 rather than f32.
+    """
+    if train or mod.is_initializing():
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis=channel_axis, dtype=dtype, name=name,
+        )(x)
+    return folded_bn_apply(
+        mod.variables["params"][name],
+        mod.variables["batch_stats"][name],
+        x,
+        channel_axis=channel_axis,
+    )
+
+
+def folded_bn_apply(p, s, x, channel_axis: int = -1) -> jnp.ndarray:
+    """The inference half of `apply_batch_norm`, usable from setup-style
+    modules that declare their own nn.BatchNorm child for training."""
+    scale = p["scale"] * jax.lax.rsqrt(s["var"] + 1e-5)
+    bias = p["bias"] - s["mean"] * scale
+    shape = [1] * x.ndim
+    shape[channel_axis] = x.shape[channel_axis % x.ndim]
+    dt = x.dtype
+    return x * scale.reshape(shape).astype(dt) + bias.reshape(shape).astype(dt)
+
+
 class Conv2d(nn.Module):
     """2D convolution with torch padding/dilation semantics (NHWC)."""
 
@@ -99,10 +146,7 @@ class ConvBnReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn"
-        )(x)
+        x = apply_batch_norm(self, x, train, dtype=self.dtype)
         return nn.relu(x)
 
 
@@ -171,10 +215,9 @@ class DenseBnReLU(nn.Module):
         cin = x.shape[channel_axis]
         kernel, _ = _DenseParams(self.features, cin, False, name="conv")()
         x = _apply_channel_map(x, kernel, None, channel_axis, self.dtype)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis=channel_axis, dtype=self.dtype, name="bn"
-        )(x)
+        x = apply_batch_norm(
+            self, x, train, channel_axis=channel_axis, dtype=self.dtype
+        )
         return nn.relu(x)
 
 
@@ -248,10 +291,7 @@ class ConvBn(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn"
-        )(x)
+        return apply_batch_norm(self, x, train, dtype=self.dtype)
 
 
 class Conv1dBnReLU(nn.Module):
@@ -279,10 +319,7 @@ class Conv1dBnReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name="bn"
-        )(x)
+        x = apply_batch_norm(self, x, train, dtype=self.dtype)
         return nn.relu(x)
 
 

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from patchmatchnet_tpu.models.layers import (
     ConvBnReLU,
     ConvTranspose2dTorch,
+    folded_bn_apply,
     torch_kernel_init,
 )
 from patchmatchnet_tpu.ops.resize import upsample_nearest_x2
@@ -57,7 +58,15 @@ class Refinement(nn.Module):
 
         conv0 = self.conv0(img, train)
         deconv = self.deconv(self.conv2(self.conv1(depth, train), train))
-        deconv = nn.relu(self.bn(deconv, use_running_average=not train))
+        if train or self.is_initializing():
+            deconv = self.bn(deconv, use_running_average=not train)
+        else:
+            deconv = folded_bn_apply(
+                self.variables["params"]["bn"],
+                self.variables["batch_stats"]["bn"],
+                deconv,
+            )
+        deconv = nn.relu(deconv)
         # channel order matches the reference cat((deconv, conv0))
         cat = jnp.concatenate([deconv, conv0], axis=-1)
         res = self.res(self.conv3(cat, train)).astype(jnp.float32)  # [B, H, W, 1]
