@@ -116,6 +116,18 @@ def warp_pixel_coords(
     return ix, iy
 
 
+def warp_proj_coeffs(src_proj: jnp.ndarray, ref_proj: jnp.ndarray) -> jnp.ndarray:
+    """[B, 12] f32 row-major (src_proj @ inv(ref_proj))[:, :3, :4] — the
+    per-sample warp is then ix = px/pz, p = R [u, v, 1]^T * depth + t (the
+    windowed sampler computes this in-kernel; reference: module.py:148)."""
+    hi = jax.lax.Precision.HIGHEST
+    proj = jnp.matmul(src_proj, jnp.linalg.inv(ref_proj), precision=hi)
+    b = proj.shape[0]
+    return jax.lax.stop_gradient(
+        proj[:, :3, :4].reshape(b, 12).astype(jnp.float32)
+    )
+
+
 def warp_coords(
     src_quad: "QuadImage",
     src_proj: jnp.ndarray,

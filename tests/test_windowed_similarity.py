@@ -170,6 +170,41 @@ def test_windowed_padded_width_matches_oracle():
     np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
 
 
+def test_windowed_proj_variant_matches_coords():
+    """The proj variant (in-kernel coordinate math from depth + 3x4
+    projection scalars) must match the explicit-coordinate path."""
+    from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+        _coords_from_depth,
+        windowed_group_similarity_proj,
+    )
+
+    rng = np.random.default_rng(5)
+    b, d, h, w, c, g = 1, 4, 16, 128, 16, 4
+    feature = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    ref = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    gm = _group_mean(c, g)
+    # a gentle projective map: near-identity rotation row-major 3x4
+    mat = np.array(
+        [[1.0, 0.002, 0.5, 2.0],
+         [-0.001, 1.0, 0.3, 1.0],
+         [1e-5, -2e-5, 1.0, 0.05]], np.float32
+    )
+    mat12 = jnp.asarray(mat.reshape(1, 12))
+    depth = jnp.asarray(
+        8.0 + rng.random((b, d, h, w)).astype(np.float32) * 2.0
+    )
+    cfg = make_config(h, w)
+    quad2d = make_quad_table_2d(feature)
+    out = np.asarray(
+        windowed_group_similarity_proj(quad2d, mat12, depth, ref, gm, cfg)
+    )
+    ix, iy = _coords_from_depth(mat12, depth, h, w)
+    expect = np.asarray(
+        windowed_group_similarity(quad2d, ix, iy, ref, gm, cfg)
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+
 def test_tile_width_selection():
     assert make_config(96, 128).tw == 64
     # non-multiple dims are edge-padded to the tile geometry

@@ -66,6 +66,23 @@ def main(height=864, width=1152, th=8, tw=48):
             print(f"  per-(tile,k) {name}-spread: mean {s.mean():.2f} p95 "
                   f"{np.percentile(s, 95):.2f} p99 {np.percentile(s, 99):.2f} "
                   f"max {s.max():.2f}")
+        # per-(tile ROW, k) spread: sets the per-row band height for a
+        # windowed eval-grid kernel (one band slice per ref row per k)
+        rowt = o.reshape(b, hp, wp // tw, tw, k, 2)
+        rspread = rowt.max(axis=3) - rowt.min(axis=3)  # [B, HP, TX, K, 2]
+        ry = rspread[..., 1].ravel()
+        print(f"  per-(row,k) y-spread: mean {ry.mean():.2f} p95 "
+              f"{np.percentile(ry, 95):.2f} p99 {np.percentile(ry, 99):.2f} "
+              f"max {ry.max():.2f}")
+        # union-window extents per tile: learned-offset bbox over ALL k
+        ut = np.transpose(t, (0, 1, 3, 2, 4, 5, 6)).reshape(
+            b, hp // th, wp // tw, th * tw * k, 2
+        )
+        uspread = ut.max(axis=3) - ut.min(axis=3)
+        for axis, name in ((0, "x"), (1, "y")):
+            s = uspread[..., axis].ravel()
+            print(f"  per-tile union {name}-spread (all k): mean {s.mean():.2f} "
+                  f"p99 {np.percentile(s, 99):.2f} max {s.max():.2f}")
 
 
 if __name__ == "__main__":
