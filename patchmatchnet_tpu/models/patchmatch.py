@@ -358,10 +358,35 @@ class Evaluation(nn.Module):
                     src_quad, mat12, depth_sample, ref_feature, gm, win_cfg
                 )  # [B, G, D, H, W] f32
             else:
-                taps, w4, _ = warp_taps(
-                    src_quad, src_proj, ref_proj, depth_sample, pad_to=SLICE_PAD
+                from patchmatchnet_tpu.ops.quad_sample import QuadImage
+
+                def _view_similarity(qdata, sp, ds, rf):
+                    # rebuild the quad with its STATIC fields from the
+                    # enclosing scope (jax.checkpoint traces every leaf of
+                    # its arguments, so the int dims must not be passed in)
+                    sq = QuadImage(
+                        qdata, src_quad.height, src_quad.width,
+                        src_quad.channels, src_quad.padded,
+                    )
+                    taps, w4, _ = warp_taps(
+                        sq, sp, ref_proj, ds, pad_to=SLICE_PAD
+                    )
+                    return warped_group_similarity(taps, w4, rf, gm, num_depth)
+
+                if train and os.environ.get(
+                    "PATCHMATCHNET_TPU_TRAIN_REMAT", "0"
+                ) == "1":
+                    # Save only the [B, G, P] similarity for backward; the
+                    # [B, P, 4C] warped taps (~4 GB across the cascade at
+                    # the DTU training config) are re-gathered in backward.
+                    # Measured 766 vs 735 ms/step at the DTU config — XLA's
+                    # own memory-pressure remat is cheaper there, so this is
+                    # opt-in for larger batches/resolutions that would
+                    # otherwise OOM.
+                    _view_similarity = jax.checkpoint(_view_similarity)
+                sim_p = _view_similarity(
+                    src_quad.data, src_proj, depth_sample, ref_flat
                 )
-                sim_p = warped_group_similarity(taps, w4, ref_flat, gm, num_depth)
                 similarity = sim_p.reshape(b, g, num_depth, hwp)[..., :hw].reshape(
                     b, g, num_depth, h, w
                 )
