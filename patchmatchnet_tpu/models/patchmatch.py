@@ -470,7 +470,8 @@ class Evaluation(nn.Module):
             parts = [x_norm_img, cost_img.astype(jnp.float32)]
         joint = jnp.concatenate(parts, axis=-1)
         sampled = grid_sample_2d(
-            joint, grid, align_corners=False, padding_mode="border"
+            joint, grid, align_corners=False, padding_mode="border",
+            method=os.environ.get("PATCHMATCHNET_TPU_EVAL_GS", "quad"),
         )  # [B, Ke, H, W, (2|3)D] f32
 
         if feature_weight is None:
