@@ -25,6 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MPIX_S = 1152 * 864 / 1e6 / 0.25  # ~3.98 MPix/s (V100 PyTorch)
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache under the repo (this box has ONE CPU
+    core, so cold compiles of the full forward/train step cost minutes;
+    warm-cache reruns cost seconds). Harmless when cold."""
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax"),
+    )
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
+
 def build_inputs(batch, num_views, height, width, seed=0):
     import numpy as np
 
@@ -49,9 +68,9 @@ def build_inputs(batch, num_views, height, width, seed=0):
     return images, intrinsics, extrinsics, depth_min, depth_max, noise
 
 
-def bench_train(args):
+def bench_train(args, emit=True):
     """Training-step throughput (samples/s) at the DTU training config
-    (640x512, N=5, B=2 by default)."""
+    (640x512, N=5, B=2 by default). Returns samples/s."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -115,17 +134,19 @@ def bench_train(args):
             file=sys.stderr,
         )
     # Round-1 reference point: ~1.2 s/step (1.64 samples/s) at this config.
-    print(
-        json.dumps(
-            {
-                "metric": f"train-step throughput, DTU config {w}x{h} "
-                f"N={n} B={args.batch}",
-                "value": round(samples_s, 3),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_s / 1.64, 3),
-            }
+    if emit:
+        print(
+            json.dumps(
+                {
+                    "metric": f"train-step throughput, DTU config {w}x{h} "
+                    f"N={n} B={args.batch}",
+                    "value": round(samples_s, 3),
+                    "unit": "samples/s",
+                    "vs_baseline": round(samples_s / 1.64, 3),
+                }
+            )
         )
-    )
+    return samples_s
 
 
 def main():
@@ -145,6 +166,11 @@ def main():
     )
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument(
+        "--no-train-metric",
+        action="store_true",
+        help="skip the train-step throughput side metric in the JSON line",
+    )
+    parser.add_argument(
         "--bf16",
         action="store_true",
         default=True,
@@ -159,6 +185,7 @@ def main():
         help="full-f32 path (bit-close to the PyTorch reference)",
     )
     args = parser.parse_args()
+    enable_compile_cache()
 
     if args.train:
         if args.height == 864 and args.width == 1152:
@@ -260,17 +287,28 @@ def main():
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": f"depth-map inference throughput, DTU config "
-                f"{args.width}x{args.height} N={args.num_views}",
-                "value": round(mpix_s, 3),
-                "unit": "MPix/s",
-                "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": f"depth-map inference throughput, DTU config "
+        f"{args.width}x{args.height} N={args.num_views}",
+        "value": round(mpix_s, 3),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }
+    if not args.no_train_metric:
+        # driver-visible training throughput (VERDICT round-2 item 5):
+        # extra keys on the same line keep the driver's parse stable
+        import copy
+
+        targs = copy.copy(args)
+        targs.height, targs.width, targs.batch = 512, 640, 2
+        targs.iters, targs.warmup = 4, 1
+        try:
+            samples_s = bench_train(targs, emit=False)
+            record["train_samples_per_s"] = round(samples_s, 3)
+            record["train_vs_round1"] = round(samples_s / 1.64, 3)
+        except Exception as exc:  # never break the primary metric
+            record["train_error"] = str(exc)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
