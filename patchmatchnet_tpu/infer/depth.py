@@ -66,7 +66,7 @@ class DepthEstimator:
             self.variables = jax.device_put(variables, replicated_sharding(mesh))
 
         def forward(images, intrinsics, extrinsics, depth_min, depth_max, noise):
-            depth, confidence, _ = self.model.apply(
+            (depth, confidence, _), diag = self.model.apply(
                 self.variables,
                 images,
                 intrinsics,
@@ -75,10 +75,38 @@ class DepthEstimator:
                 depth_max,
                 train=False,
                 init_noise=noise,
+                mutable=["diagnostics"],
             )
-            return depth, confidence
+            # total windowed-sampler escapes this forward (0 when the
+            # windowed path is exact or not in use — see patchmatch.py)
+            escapes = sum(
+                jax.tree.leaves(diag.get("diagnostics", {})),
+                jnp.zeros((), jnp.int32),
+            )
+            return depth, confidence, escapes
 
+        self._forward_fn = forward
         self._forward = jax.jit(forward)
+        self._forward_gather = None  # lazily traced exact-sampler fallback
+        self.escape_fallbacks = 0  # batches re-run on the gather sampler
+
+    def _gather_fallback(self, args):
+        """Re-run a batch on the exact gather sampler. The sampler choice is
+        read from the environment at TRACE time, and jax.jit traces once per
+        input shape — so the override must wrap every call (a new shape
+        arriving later would otherwise trace without it and silently pick
+        the windowed sampler again)."""
+        if self._forward_gather is None:
+            self._forward_gather = jax.jit(self._forward_fn)
+        prev = os.environ.get("PATCHMATCHNET_TPU_SAMPLER")
+        os.environ["PATCHMATCHNET_TPU_SAMPLER"] = "gather"
+        try:
+            return self._forward_gather(*args)
+        finally:
+            if prev is None:
+                del os.environ["PATCHMATCHNET_TPU_SAMPLER"]
+            else:
+                os.environ["PATCHMATCHNET_TPU_SAMPLER"] = prev
 
     def __call__(self, batch: Dict[str, Any], rng: jax.Array):
         """batch: adjusted sample batch (see data.adjust_sample_dims).
@@ -114,7 +142,21 @@ class DepthEstimator:
             from patchmatchnet_tpu.parallel import shard_batch
 
             args = shard_batch(args, self.mesh)
-        depth, confidence = self._forward(*args)
+        depth, confidence, escapes = self._forward(*args)
+        if int(escapes) > 0:
+            # The windowed sampler's locality bound was exceeded for this
+            # geometry (it would have zeroed `escapes` samples). Re-run the
+            # batch on the exact gather sampler — correctness over speed.
+            import warnings
+
+            warnings.warn(
+                f"windowed sampler escaped {int(escapes)} samples on this "
+                "batch; re-running with the exact gather sampler "
+                "(consider PATCHMATCHNET_TPU_HBAND/_TW tuning for this "
+                "dataset geometry)"
+            )
+            self.escape_fallbacks += 1
+            depth, confidence, _ = self._gather_fallback(args)
         depth = np.asarray(depth)
         confidence = np.asarray(confidence)
         if crop_hw is not None:
@@ -157,9 +199,11 @@ class ModuleEstimator(DepthEstimator):
                     f"{tuple(images.shape)}; re-export for this geometry or "
                     "set --image_max_dim/--batch_size to match"
                 )
-            return self._exported.call(
+            out = self._exported.call(
                 images, intrinsics, extrinsics, depth_min, depth_max, noise
             )
+            # exported artifacts predate the escape diagnostic: no fallback
+            return (*out, jnp.zeros((), jnp.int32))
 
         self._forward = forward
 

@@ -342,6 +342,7 @@ class Evaluation(nn.Module):
                 vw_all, axis=1, keepdims=True
             )[:, :, None]
             src_projs = []  # skip the per-view loop below
+        escapes = jnp.zeros((), jnp.int32)
         for i, src_proj in enumerate(src_projs):
             src_quad = (
                 src_features[i]
@@ -357,6 +358,23 @@ class Evaluation(nn.Module):
                 similarity = windowed_group_similarity_proj(
                     src_quad, mat12, depth_sample, ref_feature, gm, win_cfg
                 )  # [B, G, D, H, W] f32
+                # Runtime escape guard: count samples the windowed kernel
+                # would zero (its exactness contract). The coordinate math
+                # and origin reductions are CSE'd with the kernel's own, so
+                # this costs one fused compare+reduce; consumers that do
+                # not request the 'diagnostics' collection trace it away.
+                from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+                    _coords_from_depth,
+                    escape_count,
+                )
+
+                eix, eiy = _coords_from_depth(
+                    mat12, jax.lax.stop_gradient(depth_sample), h, w
+                )
+                escapes = escapes + escape_count(
+                    eix, eiy, win_cfg, h, w,
+                    src_quad.shape[1], src_quad.shape[2],
+                ).astype(jnp.int32)
             else:
                 from patchmatchnet_tpu.ops.quad_sample import QuadImage
 
@@ -403,6 +421,15 @@ class Evaluation(nn.Module):
             similarity_sum = similarity_sum + similarity.astype(jnp.float32) * vw
             weight_sum = weight_sum + vw
 
+        if win_cfg is not None:
+            # summed per evaluation call; retrieve with
+            # apply(..., mutable=["diagnostics"]) (see infer.DepthEstimator)
+            self.sow(
+                "diagnostics", "escape_count", escapes,
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
+
         similarity = similarity_sum / weight_sum  # [B, G, D, H, W] f32
         if self.dtype is not None:
             similarity = similarity.astype(self.dtype)
@@ -420,26 +447,20 @@ class Evaluation(nn.Module):
         # separately and summing equals sampling x exactly (the sampler
         # accumulates in f32).
         ref_sg = jax.lax.stop_gradient(ref_feature)
-        # Experimental fused eval-score kernel (ops/pallas/eval_score.py):
-        # replaces the [B, Ke, H, W, D] materialization + layout glue with
-        # one u16 quad gather + a Pallas aggregation. Measured ~4 ms/map
-        # SLOWER than the unfused path even in its best configuration
-        # (D=8-only, 128 B payload, blocked ke-inside grid): the gathered
-        # quad taps still round-trip HBM (~570 MB/fwd at stage 1), which
-        # costs more than the glue it removes. Off by default; kept for
-        # chips with better gather/HBM ratios.
+        # Fused eval-grid tail (ops/pallas/eval_tail.py): one uint16 quad
+        # gather (x_norm as 16-bit fixed point — same 2^-17 error as the
+        # bf16 hi/lo pair — and cost as bf16 bits, 2/3 the gather traffic)
+        # + a lane-packed Pallas kernel doing bilinear combine, depth
+        # weight, feature weighting and the neighbor reduction in VMEM. No
+        # [B, Ke, H, W, D] intermediate, no XLA layout-conversion loops.
+        # Default ON for the windowed inference path; set
+        # PATCHMATCHNET_TPU_EVAL_FUSED=0 to fall back to the XLA tail.
         eval_fused = (
             sampler == "windowed"
-            and os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED", "0") == "1"
-            and num_depth
-            <= int(os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED_MAX_D", "8"))
+            and os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED", "1") == "1"
+            and num_depth & (num_depth - 1) == 0
         )
         if eval_fused:
-            # Fused inference path: one uint16 quad gather (x_norm as 16-bit
-            # fixed point — same 2^-17 error as the hi/lo pair — and cost as
-            # bf16 bits) + a Pallas kernel doing bilinear combine, depth
-            # weight, feature weighting and the neighbor reduction in VMEM
-            # (ops/pallas/eval_score.py). No [B, Ke, H, W, D] intermediate.
             if feature_weight is None:
                 ref_smp = grid_sample_2d(
                     ref_sg, grid, align_corners=False, padding_mode="border"
@@ -447,7 +468,7 @@ class Evaluation(nn.Module):
                 feature_weight = self.feature_weight_net.weights_from_neighbors(
                     ref_smp, ref_sg, train
                 )  # [B, Ke, H, W]
-            from patchmatchnet_tpu.ops.pallas.eval_score import eval_grid_score
+            from patchmatchnet_tpu.ops.pallas.eval_tail import eval_grid_score
 
             score = eval_grid_score(
                 x_norm_img,

@@ -282,6 +282,10 @@ def _fwd(taps, w4, ref, gm, num_depth):
 
 
 def _bwd(num_depth, residuals, grad_out):
+    # VJP contract: gm is NONDIFFERENTIABLE (its cotangent is zero on every
+    # path). It is always the constant block-diagonal group-mean matrix
+    # (models/patchmatch.py _group_mean_matrix); a learned/derived gm would
+    # need the extra [C, G] contraction added to BOTH branches here.
     taps, w4, ref, gm = residuals
     if (
         os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
@@ -289,11 +293,11 @@ def _bwd(num_depth, residuals, grad_out):
         or (taps.shape[1] // num_depth) % 128 != 0
     ):
         _, vjp = jax.vjp(
-            lambda t, w, r, m: _jnp_impl(t, w, r, m, num_depth), taps, w4, ref, gm
+            lambda t, w, r: _jnp_impl(t, w, r, gm, num_depth), taps, w4, ref
         )
-        return vjp(grad_out)
+        dtaps, dw4, dref = vjp(grad_out)
+        return dtaps, dw4, dref, jnp.zeros_like(gm)
     dtaps, dw4, dref = _pallas_bwd(taps, w4, ref, gm, grad_out, num_depth)
-    # gm is a constant group-mean matrix; its cotangent is never used
     return dtaps, dw4, dref, jnp.zeros_like(gm)
 
 

@@ -52,7 +52,13 @@ from jax._src.pallas import core as pallas_core  # Element block dims
 
 HWIN_MAX = 48   # table row padding covers any th <= 32 (hwin = th + 16)
 TH_DEFAULT = 8  # ref rows per tile; higher cuts grid steps, grows windows
-HBAND_DEFAULT = 6   # band rows per (ref row, all d); env-overridable
+HBAND_DEFAULT = 7   # band rows per (ref row, all d); env-overridable.
+                    # = measured max row span at tw=48 (5, see TW_DEFAULT)
+                    # + 1 covered row + 1 ULP-slack row: r0 is biased one
+                    # row below the mirror-computed minimum (see _origins)
+                    # so a 1-ULP floor flip between the in-kernel coordinate
+                    # math and the XLA mirror cannot land a sample at
+                    # ry = -1 (zeroing it silently on TPU only).
 TW_DEFAULT = 48     # preferred tile width; narrower tiles keep the epipolar
                     # tilt across a ref-row slab within the band (measured:
                     # max span 5 at tw=48 vs 9 at tw=96 on the bench views)
@@ -97,6 +103,13 @@ def make_config(height: int, width: int) -> WindowConfig | None:
     if tw is None or height < 8:
         return None
     th = int(os.environ.get("PATCHMATCHNET_TPU_TH", TH_DEFAULT))
+    if not 1 <= th <= HWIN_MAX - 16:
+        # hwin = th + 16 must stay within the HWIN_MAX row padding of
+        # make_quad_table_2d, or the Element-indexed window block reads past
+        # the table on short images
+        raise ValueError(
+            f"PATCHMATCHNET_TPU_TH={th} out of range [1, {HWIN_MAX - 16}]"
+        )
     hp = -(-height // th) * th
     wp = -(-width // tw) * tw
     # window cols: tile extent + bbox margin + 16-col origin quantization,
@@ -104,6 +117,13 @@ def make_config(height: int, width: int) -> WindowConfig | None:
     wwin = min(tw + X_MARGIN * 2, -(-(width + 1) // 16) * 16)
     hband = int(os.environ.get("PATCHMATCHNET_TPU_HBAND", HBAND_DEFAULT))
     hwin = th + 16
+    if not 1 <= hband <= hwin:
+        # hband > hwin would make the r0 clip bound negative (out-of-bounds
+        # band slices); larger bands need a taller window (raise TH too)
+        raise ValueError(
+            f"PATCHMATCHNET_TPU_HBAND={hband} out of range [1, {hwin}] "
+            f"(hwin = th + 16 with th={th})"
+        )
     return WindowConfig(th, tw, hp // th, wp // tw, wwin, hband, hp, wp, hwin)
 
 
@@ -189,7 +209,13 @@ def _origins(ix, iy, cfg: WindowConfig, height, width, table_h, table_w):
     oy = jnp.clip(oy, 0, max(table_h - cfg.hwin, 0)) & ~7
     ox = jnp.clip(ox, 0, max(table_w - cfg.wwin, 0)) & ~15
     r0 = _tile_min(qy_d, 1, cfg.tw)  # [B, H, TX]
-    r0 = r0.reshape(b, cfg.ty, cfg.th, cfg.tx) - oy[:, :, None, :]
+    # Bias one row BELOW the row minimum: the min edge is always tight (r0
+    # IS the min), so a 1-ULP disagreement between this XLA mirror and the
+    # in-kernel coordinate association (_kernel_proj: Mosaic may contract
+    # FMAs differently) could otherwise flip floor(iy) down at an integer
+    # boundary and zero the sample (ry = -1). One slack row absorbs any
+    # ULP-level flip; HBAND_DEFAULT accounts for it.
+    r0 = r0.reshape(b, cfg.ty, cfg.th, cfg.tx) - oy[:, :, None, :] - 1
     r0 = jnp.clip(r0, 0, cfg.hwin - cfg.hband)
     r0 = jnp.transpose(r0, (0, 1, 3, 2))  # [B, TY, TX, th]
     return oy.reshape(-1), ox.reshape(-1), r0.reshape(-1)

@@ -73,7 +73,18 @@ def bitonic_sort_axis1(x: jnp.ndarray) -> jnp.ndarray:
 def merge_sorted_desc_with_unsorted(base_desc: jnp.ndarray, extra: jnp.ndarray) -> jnp.ndarray:
     """Ascending sort of concat([base_desc, extra], axis=1) where base_desc
     is descending along axis 1: sort `extra` ascending, then one bitonic
-    merge of (extra_asc | +inf pad | base_desc)."""
+    merge of (extra_asc | +inf pad | base_desc).
+
+    PRECONDITION: `base_desc` MUST be non-increasing along axis 1, or the
+    result is silently unsorted (a bitonic merge only sorts bitonic input).
+    Both depth initializers satisfy this by construction — they are monotone
+    increasing in inverse depth, hence descending in depth
+    (models/patchmatch.py init_random_depth / init_perturbed_depth); a new
+    initializer must preserve it or `propagate` must switch to
+    PATCHMATCHNET_TPU_SORT=lax. NaN inputs also order differently than
+    jnp.sort (min/max propagate NaN instead of sorting it last).
+    tests/test_sortnet.py::test_propagate_initializer_invariant guards the
+    invariant for every initializer wired into propagate."""
     b, n_base = base_desc.shape[0], base_desc.shape[1]
     n_extra = extra.shape[1]
     rest = base_desc.shape[2:]

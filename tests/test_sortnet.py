@@ -30,6 +30,44 @@ def test_merge_matches_full_sort(n_base, n_extra):
     np.testing.assert_array_equal(np.asarray(out), expect)
 
 
+def test_propagate_initializer_invariant():
+    """Every depth initializer wired into `propagate` must yield samples
+    DESCENDING along the hypothesis axis — the precondition of
+    merge_sorted_desc_with_unsorted. A new initializer that breaks this
+    fails here loudly instead of silently unsorting hypotheses."""
+    from patchmatchnet_tpu.models.patchmatch import (
+        init_perturbed_depth,
+        init_random_depth,
+        propagate,
+    )
+
+    rng = np.random.default_rng(7)
+    b, h, w = 2, 8, 8
+    dmin = jnp.asarray([2.0, 425.0])
+    dmax = jnp.asarray([10.0, 935.0])
+
+    noise = jnp.asarray(rng.random((b, 48, h, w)), jnp.float32)
+    rand = init_random_depth(noise, dmin, dmax)
+    assert bool(jnp.all(jnp.diff(rand, axis=1) <= 0)), "stage-3 init not descending"
+
+    prev = jnp.asarray(rng.random((b, h, w)) * 6 + 3, jnp.float32)
+    pert = init_perturbed_depth(prev, dmin, dmax, 16, 0.025)
+    assert bool(jnp.all(jnp.diff(pert, axis=1) <= 0)), "perturbed init not descending"
+
+    # and through propagate, the merge network must agree with jnp.sort
+    import os
+
+    grid_pts = jnp.asarray(rng.random((b, 8, h, w, 2)) * 2 - 1, jnp.float32)
+    for sample in (rand, pert):
+        merged = propagate(sample, grid_pts)
+        os.environ["PATCHMATCHNET_TPU_SORT"] = "lax"
+        try:
+            lax_sorted = propagate(sample, grid_pts)
+        finally:
+            del os.environ["PATCHMATCHNET_TPU_SORT"]
+        np.testing.assert_array_equal(np.asarray(merged), np.asarray(lax_sorted))
+
+
 def test_merge_with_ties_and_clamped_values():
     # clipped inverse-depth perturbation produces runs of equal values
     base = np.repeat(np.linspace(10, 2, 8, dtype=np.float32), 2)[None, :, None, None]
