@@ -82,6 +82,21 @@ def scale_to_max_dim(image: np.ndarray, max_dim: int) -> Tuple[np.ndarray, int, 
     return image, original_height, original_width
 
 
+def scaled_dims(height: int, width: int, max_dim: int) -> Tuple[int, int]:
+    """The (H, W) that scale_to_max_dim would produce, without any decode."""
+    scale = max_dim / max(height, width) if max_dim > 0 else 1.0
+    if 0 < scale < 1:
+        return int(scale * height), int(scale * width)
+    return height, width
+
+
+def read_image_size(filename: str) -> Tuple[int, int]:
+    """Image (height, width) from the file header — no pixel decode."""
+    with Image.open(filename) as im:
+        w, h = im.size
+    return h, w
+
+
 def read_image(filename: str, max_dim: int = -1) -> Tuple[np.ndarray, int, int]:
     """Read image as float32 in [0, 1], optionally shrunk to `max_dim`.
 

@@ -71,31 +71,64 @@ def _consistency_all_sources(
     return jnp.sum(masks.astype(jnp.int32), axis=0), jnp.sum(reprojected, axis=0)
 
 
-def _load_view(
-    input_folder: str,
-    output_folder: str,
-    scan: str,
-    view: int,
-    cfg: FusionConfig,
-    with_image: bool,
-) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
-    """Load (image?, intrinsics, extrinsics, depth_est) for one view with
-    max-dim rescaling applied consistently to intrinsics."""
-    img_path = os.path.join(
-        input_folder, scan, "images", f"{view:08d}{cfg.image_extension}"
-    )
-    image, orig_h, orig_w = read_image(img_path, cfg.image_max_dim)
-    intr, extr, _ = read_cam_file(
-        os.path.join(input_folder, scan, "cams", f"{view:08d}_cam.txt")
-    )
-    intr = intr.copy()
-    intr[0] *= image.shape[1] / orig_w
-    intr[1] *= image.shape[0] / orig_h
-    depth = read_map(
-        os.path.join(output_folder, scan, "depth_est", f"{view:08d}{cfg.file_format}")
-    )
-    depth = depth[:, :, 0] if depth.ndim == 3 else depth
-    return (image if with_image else None), intr, extr, depth.astype(np.float32)
+class _ViewCache:
+    """Per-scan decode-once store for fusion inputs.
+
+    The reference fusion re-reads every source view's depth/cam once per
+    REFERENCING view — O(refs x srcs) decodes per scan (reference:
+    eval.py:203-250). Here cams and depth maps are read exactly once per
+    view and kept for the scan (a 49-view DTU scan of 1600-wide maps is
+    ~400 MB — well within host memory), and the image is decoded only for
+    the view's own turn as reference: intrinsics rescaling needs just the
+    image DIMENSIONS, which come from the file header without a decode."""
+
+    def __init__(self, input_folder: str, output_folder: str, scan: str,
+                 cfg: FusionConfig):
+        self.input_folder = input_folder
+        self.output_folder = output_folder
+        self.scan = scan
+        self.cfg = cfg
+        self._cam_depth = {}
+
+    def _img_path(self, view: int) -> str:
+        return os.path.join(
+            self.input_folder, self.scan, "images",
+            f"{view:08d}{self.cfg.image_extension}",
+        )
+
+    def cam_depth(self, view: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(intrinsics, extrinsics, depth_est) — cached, no image decode."""
+        hit = self._cam_depth.get(view)
+        if hit is not None:
+            return hit
+        from patchmatchnet_tpu.dataio.image import read_image_size, scaled_dims
+
+        orig_h, orig_w = read_image_size(self._img_path(view))
+        h, w = scaled_dims(orig_h, orig_w, self.cfg.image_max_dim)
+        intr, extr, _ = read_cam_file(
+            os.path.join(
+                self.input_folder, self.scan, "cams", f"{view:08d}_cam.txt"
+            )
+        )
+        intr = intr.copy()
+        intr[0] *= w / orig_w
+        intr[1] *= h / orig_h
+        depth = read_map(
+            os.path.join(
+                self.output_folder, self.scan, "depth_est",
+                f"{view:08d}{self.cfg.file_format}",
+            )
+        )
+        depth = depth[:, :, 0] if depth.ndim == 3 else depth
+        out = (intr, extr, depth.astype(np.float32))
+        self._cam_depth[view] = out
+        return out
+
+    def image(self, view: int) -> np.ndarray:
+        """Decoded (rescaled) image — NOT cached: each view is a reference
+        view exactly once per scan."""
+        image, _, _ = read_image(self._img_path(view), self.cfg.image_max_dim)
+        return image
 
 
 def filter_and_fuse(
@@ -115,10 +148,10 @@ def filter_and_fuse(
     vertices: List[np.ndarray] = []
     vertex_colors: List[np.ndarray] = []
 
+    cache = _ViewCache(input_folder, output_folder, scan, cfg)
     for ref_view, src_views in pair_data:
-        ref_img, ref_intr, ref_extr, ref_depth = _load_view(
-            input_folder, output_folder, scan, ref_view, cfg, with_image=True
-        )
+        ref_intr, ref_extr, ref_depth = cache.cam_depth(ref_view)
+        ref_img = cache.image(ref_view)
         confidence = read_map(
             os.path.join(
                 output_folder, scan, "confidence", f"{ref_view:08d}{cfg.file_format}"
@@ -129,9 +162,7 @@ def filter_and_fuse(
 
         src_depths, src_intrs, src_extrs = [], [], []
         for sv in src_views:
-            _, intr, extr, depth = _load_view(
-                input_folder, output_folder, scan, sv, cfg, with_image=False
-            )
+            intr, extr, depth = cache.cam_depth(sv)
             src_depths.append(depth)
             src_intrs.append(intr)
             src_extrs.append(extr)

@@ -19,8 +19,15 @@ from patchmatchnet_tpu.dataio import save_cam_file, save_image, save_pair_file, 
 PLANE_Z = 6.0
 
 
-def world_texture(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Smooth RGB texture over world XY coordinates, values in [0, 1]."""
+def world_texture(x: np.ndarray, y: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    """Smooth RGB texture over world XY coordinates, values in [0, 1].
+
+    `scale` multiplies the spatial frequency: at 1.0 the wavelength is ~2
+    world units (~60 px at the default camera geometry) — matchable but
+    weakly localized; 6-8 gives sharp enough gradients that PatchMatch
+    reconstructs the plane to ~1% of depth even at 128x160 (measured)."""
+    x = scale * x
+    y = scale * y
     r = 0.5 + 0.45 * np.sin(3.1 * x) * np.cos(2.3 * y)
     g = 0.5 + 0.45 * np.sin(1.7 * x + 1.0) * np.sin(2.9 * y)
     b = 0.5 + 0.45 * np.cos(2.1 * x) * np.sin(1.3 * y + 0.5)
@@ -34,6 +41,7 @@ def make_synthetic_scene(
     width: int = 80,
     image_extension: str = ".png",
     with_depth_gt: bool = True,
+    texture_scale: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Write images/, cams/, pair.txt (and depth_gt/) under `root`.
 
@@ -60,8 +68,20 @@ def make_synthetic_scene(
         depth = PLANE_Z  # camera z == world z since t_z = 0
         xs = (uu - k[0, 2]) / k[0, 0] * depth - e[0, 3]
         ys = (vv - k[1, 2]) / k[1, 1] * depth - e[1, 3]
-        img = world_texture(xs, ys)
-        save_image(os.path.join(root, "images", f"{v:08d}{image_extension}"), img)
+        img = world_texture(xs, ys, texture_scale)
+        img_path = os.path.join(root, "images", f"{v:08d}{image_extension}")
+        if image_extension in (".jpg", ".jpeg"):
+            # 4:4:4, high quality: default 4:2:0 chroma subsampling shifts
+            # chroma half a pixel, which measurably biases matching on
+            # colored texture (signed depth bias doubled, +0.048 vs +0.021
+            # at the 128x160 fixture geometry)
+            from PIL import Image
+
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                img_path, quality=95, subsampling=0
+            )
+        else:
+            save_image(img_path, img)
 
         depth_params = [0.8 * PLANE_Z, 1.3 * PLANE_Z]
         save_cam_file(

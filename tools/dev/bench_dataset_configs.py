@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""End-to-end TPU runs at the ETH3D / Tanks&Temples eval geometries.
+
+Reference eval configs (reference: eval.sh:13-21): ETH3D num_views=7,
+image_max_dim=2688; Tanks num_views=7, image_max_dim=2048. This script
+synthesizes scenes at those exact (mixed) image geometries, runs the
+DepthEstimator with shape bucketing, and reports per-config:
+
+- MPix/s (bf16 windowed path),
+- total windowed-sampler escape count (0 = the locality bounds hold and
+  the windowed path is exact at this geometry),
+- number of distinct compiles (bucketing must prevent per-image recompiles).
+
+Usage: python tools/dev/bench_dataset_configs.py [--config eth3d|tanks|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+
+import numpy as np
+
+CONFIGS = {
+    # name: (num_views, [per-view (H, W) after max_dim scaling], bucket)
+    # ETH3D: 6048x4032 sensors -> 2688x1792 at max_dim 2688; some scans mix
+    # portrait/landscape. Tanks: 1920x1080 -> 2048 cap leaves 1920x1080
+    # (rounded to x8: 1920x1056 as in the reference pipeline).
+    "eth3d": (7, [(1792, 2688), (1792, 2688), (2688, 1792)], 64),
+    "tanks": (7, [(1056, 1920), (1056, 1920), (1056, 1920)], 64),
+}
+
+
+def run_config(name: str, iters: int = 4) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_inputs, enable_compile_cache
+    from patchmatchnet_tpu.compat import load_variables
+    from patchmatchnet_tpu.infer import DepthEstimator
+    from patchmatchnet_tpu.models import PatchmatchNet
+
+    enable_compile_cache()
+    num_views, shapes, bucket = CONFIGS[name]
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..",
+        "checkpoints", "params_000007.msgpack",
+    )
+    est = DepthEstimator(
+        load_variables(ckpt),
+        PatchmatchNet(compute_dtype=jnp.bfloat16),
+        bucket_multiple=bucket,
+    )
+
+    results = {"config": name, "num_views": num_views, "shapes": shapes}
+    total_pix = 0.0
+    total_time = 0.0
+    per_shape = []
+    for h, w in shapes:
+        images, intr, extr, dmin, dmax, _ = build_inputs(1, num_views, h, w)
+        batch = {
+            "images": images, "intrinsics": intr, "extrinsics": extr,
+            "depth_min": dmin, "depth_max": dmax,
+        }
+        # warmup (compile)
+        t0 = time.perf_counter()
+        est(batch, jax.random.PRNGKey(0))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(iters):
+            est(batch, jax.random.PRNGKey(i + 1))
+        dt = (time.perf_counter() - t0) / iters
+        per_shape.append(
+            {"shape": (h, w), "ms_per_map": round(dt * 1e3, 1),
+             "mpix_s": round(h * w / 1e6 / dt, 2),
+             "first_call_s": round(compile_s, 1)}
+        )
+        total_pix += h * w * iters
+        total_time += dt * iters
+    results["per_shape"] = per_shape
+    results["mpix_s"] = round(total_pix / 1e6 / total_time, 2)
+    results["escape_fallbacks"] = est.escape_fallbacks
+    results["compiles"] = est._forward._cache_size()
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="all", choices=["eth3d", "tanks", "all"])
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+    names = list(CONFIGS) if args.config == "all" else [args.config]
+    for name in names:
+        res = run_config(name, args.iters)
+        print(res)
+
+
+if __name__ == "__main__":
+    main()
