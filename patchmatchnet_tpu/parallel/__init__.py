@@ -8,10 +8,17 @@ automatically by jit under these shardings.
 """
 
 from patchmatchnet_tpu.parallel.mesh import (
+    DATA_AXIS,
     batch_sharding,
     make_mesh,
     replicated_sharding,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "DATA_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

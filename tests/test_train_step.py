@@ -158,6 +158,49 @@ def test_data_parallel_mesh_step(setup):
     assert mismatched / total < 1e-3, f"{mismatched}/{total} params diverged"
 
 
+def test_dryrun_multichip_entry():
+    """The driver's multichip artifact end-to-end: __graft_entry__.
+    dryrun_multichip(8) on this process's 8-device CPU mesh. Guards the
+    rc=124 regression of rounds 2-3 — the stand-in keeps this fast
+    (~15-30 s cold on this box, see parallel/dryrun.py)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_dryrun_model_contract():
+    """DryRunModel returns the exact output structure make_train_step and
+    patchmatchnet_loss consume: (depth, confidence, {stage: [iters...]})
+    with stage i at 1/2^i resolution."""
+    from patchmatchnet_tpu.parallel.dryrun import DryRunModel
+
+    batch = tiny_batch(batch_size=2, num_views=2, h=16, w=16)
+    model = DryRunModel()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(batch["images"]),
+        jnp.asarray(batch["intrinsics"]),
+        jnp.asarray(batch["extrinsics"]),
+        jnp.asarray(batch["depth_min"]),
+        jnp.asarray(batch["depth_max"]),
+        train=True,
+    )
+    assert "params" in variables and "batch_stats" in variables
+    depth, conf, dp = model.apply(
+        variables,
+        jnp.asarray(batch["images"]),
+        jnp.asarray(batch["intrinsics"]),
+        jnp.asarray(batch["extrinsics"]),
+        jnp.asarray(batch["depth_min"]),
+        jnp.asarray(batch["depth_max"]),
+        train=False,
+    )
+    assert depth.shape == (2, 16, 16) and conf.shape == (2, 16, 16)
+    assert sorted(dp.keys()) == [0, 1, 2, 3]
+    for i in range(4):
+        assert dp[i][-1].shape == (2, 16 // 2**i, 16 // 2**i)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path, setup):
     pytest.importorskip("orbax.checkpoint")
     from patchmatchnet_tpu.train.checkpoints import (
