@@ -171,6 +171,16 @@ def main():
         help="skip the train-step throughput side metric in the JSON line",
     )
     parser.add_argument(
+        "--no-diagnostics",
+        dest="diagnostics",
+        action="store_false",
+        default=True,
+        help="drop the diagnostics collection from the measured forward. "
+        "Default ON: the production DepthEstimator path requests "
+        "mutable=['diagnostics'] for the windowed-sampler escape guard "
+        "(infer/depth.py), so the default bench measures that program",
+    )
+    parser.add_argument(
         "--bf16",
         action="store_true",
         default=True,
@@ -209,6 +219,25 @@ def main():
 
     @jax.jit
     def forward(images, intrinsics, extrinsics, depth_min, depth_max, noise):
+        if args.diagnostics:
+            # production parity: DepthEstimator requests the diagnostics
+            # collection (escape guard) on every batch — infer/depth.py:68-89
+            (depth, confidence, _), diag = model.apply(
+                variables,
+                images,
+                intrinsics,
+                extrinsics,
+                depth_min,
+                depth_max,
+                train=False,
+                init_noise=noise,
+                mutable=["diagnostics"],
+            )
+            escapes = sum(
+                jax.tree.leaves(diag.get("diagnostics", {})),
+                jnp.zeros((), jnp.int32),
+            )
+            return depth, confidence, escapes
         depth, confidence, _ = model.apply(
             variables,
             images,
