@@ -106,7 +106,7 @@ def propagate(depth_sample: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 
     Args:
         depth_sample: [B, D, H, W]
-        grid: [B, Kp, H, W, 2]
+        grid: (gx, gy) tuple of [B, Kp, H, W] normalized coordinates.
     Returns:
         [B, D + Kp, H, W] sorted depth samples.
     """
@@ -136,7 +136,7 @@ def depth_weight(
 
     Args:
         depth_sample: [B, D, H, W]
-        grid: [B, Ke, H, W, 2]
+        grid: (gx, gy) tuple of [B, Ke, H, W] normalized coordinates.
     Returns:
         [B, Ke, H, W, D] weights in (0, 1), gradient-stopped.
     """
@@ -230,14 +230,85 @@ class FeatureWeightNet(nn.Module):
         out = self.similarity(self.conv1(self.conv0(corr, train), train))
         return jax.nn.sigmoid(out[..., 0].astype(jnp.float32))  # [B, Ke, H, W]
 
+    def weights_from_corr(self, corr: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """corr: [B, G, Ke, H, W] CHANNEL-FIRST group correlation (as the
+        fused similarity kernel emits it) -> [B, Ke, H, W]. Same math as
+        `weights_from_neighbors` after its group-mean matmul; taking the
+        channel-first volume directly avoids the C-minor relayout XLA
+        otherwise realizes as a serial while-loop (measured ~3 ms/forward
+        at the DTU eval config, stage 1)."""
+        x = self.conv0(corr, train, channel_axis=1)
+        x = self.conv1(x, train, channel_axis=1)
+        out = self.similarity(x, channel_axis=1)  # [B, 1, Ke, H, W]
+        return jax.nn.sigmoid(out[:, 0].astype(jnp.float32))
+
     def __call__(
         self, ref_feature: jnp.ndarray, grid: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        """ref_feature: [B, H, W, C]; grid: [B, Ke, H, W, 2] -> [B, Ke, H, W]."""
+        """ref_feature: [B, H, W, C]; grid: (gx, gy) of [B, Ke, H, W]
+        -> [B, Ke, H, W]."""
         neighbors = grid_sample_2d(
             ref_feature, grid, align_corners=False, padding_mode="border"
         )  # [B, Ke, H, W, C]
         return self.weights_from_neighbors(neighbors, ref_feature, train)
+
+
+def _feature_weight_corr(
+    ref_sg: jnp.ndarray, grid, groups: int
+) -> jnp.ndarray:
+    """Group correlation of eval-grid-sampled reference-feature neighbors
+    with the center feature, CHANNEL-FIRST [B, G, Ke, H, W].
+
+    Replaces grid_sample + (neighbors * ref) @ gm with the fused similarity
+    kernel (ops/pallas/similarity_kernel.py) applied with the neighbor axis
+    in the depth-slice slot: the f32 bilinear combine and the C-minor
+    relayout XLA emitted around the sampled [B, Ke, H, W, C] volume
+    (a 16-step serial while-loop at stage 1) never materialize. Exact same
+    math; gradient flows to the grid through the bilinear weights and to
+    nothing else (ref_sg is detached by the caller), matching the
+    reference's detached FeatureWeightNet input (reference:
+    models/patchmatch.py:475, 615-617).
+    """
+    from patchmatchnet_tpu.ops.pallas.similarity_kernel import (
+        SLICE_PAD,
+        warped_group_similarity,
+    )
+    from patchmatchnet_tpu.ops.quad_sample import (
+        _gather_rows,
+        make_quad_image,
+        quad_coords,
+    )
+
+    b, h, w, c = ref_sg.shape
+    if isinstance(grid, (tuple, list)):
+        gx, gy = grid
+    else:
+        gx, gy = grid[..., 0], grid[..., 1]
+    ke = gx.shape[1]
+    hw = h * w
+    hwp = -(-hw // SLICE_PAD) * SLICE_PAD
+    # align_corners=False unnormalization + border clamp (grid_sample_2d
+    # semantics, reference: patchmatch.py:615-617)
+    ix = jnp.clip(((gx.reshape(b, ke * hw) + 1.0) * w - 1.0) * 0.5, 0.0, w - 1)
+    iy = jnp.clip(((gy.reshape(b, ke * hw) + 1.0) * h - 1.0) * 0.5, 0.0, h - 1)
+    quad = make_quad_image(ref_sg, "border")
+    idx, w4 = quad_coords(
+        quad, ix, iy, padding_mode="border", weight_dtype=jnp.float32
+    )
+    if hwp != hw:
+        idx = jnp.pad(idx.reshape(b, ke, hw), ((0, 0), (0, 0), (0, hwp - hw)))
+        w4 = jnp.pad(
+            w4.reshape(b, 4, ke, hw), ((0, 0), (0, 0), (0, 0), (0, hwp - hw))
+        ).reshape(b, 4, ke * hwp)
+        idx = idx.reshape(b, ke * hwp)
+    taps = _gather_rows(quad, idx)  # [B, Ke*HWP, 4C]
+    ref_flat = ref_sg.reshape(b, hw, c)
+    if hwp != hw:
+        ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
+    gm = _group_mean_matrix(c, groups, jnp.float32)
+    corr = warped_group_similarity(taps, w4, ref_flat, gm, ke)  # [B, G, Ke*HWP]
+    corr = corr.reshape(b, groups, ke, hwp)[..., :hw]
+    return corr.reshape(b, groups, ke, h, w)
 
 
 class Evaluation(nn.Module):
@@ -281,10 +352,10 @@ class Evaluation(nn.Module):
 
         On the stage's first iteration (feature_weight is None) the
         reference-feature neighbors needed by FeatureWeightNet (reference:
-        patchmatch.py:475, 615-617) are folded into the same eval-grid
-        gather as the depth-weight and cost channels — one gather per
-        iteration serves all three consumers, bit-identically (bilinear
-        sampling is linear over channels)."""
+        patchmatch.py:475, 615-617) are sampled + group-correlated through
+        the fused similarity kernel (_feature_weight_corr) — the sampled
+        [B, Ke, H, W, C] volume and its C-minor relayout never
+        materialize."""
         b, h, w, c = ref_feature.shape
         g = self.groups
         num_depth = depth_sample.shape[1]
@@ -447,6 +518,15 @@ class Evaluation(nn.Module):
         # separately and summing equals sampling x exactly (the sampler
         # accumulates in f32).
         ref_sg = jax.lax.stop_gradient(ref_feature)
+        if feature_weight is None:
+            # First iteration of the stage: adaptive feature weights from
+            # the eval-grid neighbors (reference: patchmatch.py:475,
+            # 615-617), computed through the fused similarity kernel
+            # (see _feature_weight_corr).
+            corr = _feature_weight_corr(ref_sg, grid, self.groups)
+            feature_weight = self.feature_weight_net.weights_from_corr(
+                corr, train
+            )  # [B, Ke, H, W]
         # Fused eval-grid tail (ops/pallas/eval_tail.py): one uint16 quad
         # gather (x_norm as 16-bit fixed point — same 2^-17 error as the
         # bf16 hi/lo pair — and cost as bf16 bits, 2/3 the gather traffic)
@@ -461,13 +541,6 @@ class Evaluation(nn.Module):
             and num_depth & (num_depth - 1) == 0
         )
         if eval_fused:
-            if feature_weight is None:
-                ref_smp = grid_sample_2d(
-                    ref_sg, grid, align_corners=False, padding_mode="border"
-                )
-                feature_weight = self.feature_weight_net.weights_from_neighbors(
-                    ref_smp, ref_sg, train
-                )  # [B, Ke, H, W]
             from patchmatchnet_tpu.ops.pallas.eval_tail import eval_grid_score
 
             score = eval_grid_score(
@@ -495,17 +568,6 @@ class Evaluation(nn.Module):
             method=os.environ.get("PATCHMATCHNET_TPU_EVAL_GS", "quad"),
         )  # [B, Ke, H, W, (2|3)D] f32
 
-        if feature_weight is None:
-            # Reference-feature neighbors are gathered SEPARATELY: folding
-            # them into the joint table pushes the per-index payload past
-            # 256 bytes, where the TPU gather drops ~3.5x in rate on large
-            # tables (see PROGRESS.md round-2 notes).
-            ref_smp = grid_sample_2d(
-                ref_sg, grid, align_corners=False, padding_mode="border"
-            )
-            feature_weight = self.feature_weight_net.weights_from_neighbors(
-                ref_smp, ref_sg, train
-            )  # [B, Ke, H, W]
         if split_xnorm:
             x_smp = sampled[..., :num_depth] + sampled[..., num_depth : 2 * num_depth]
             cost_smp = sampled[..., 2 * num_depth :]
@@ -608,7 +670,7 @@ def build_offset_grid(
     fixed: Sequence[Tuple[int, int]],
     height: int,
     width: int,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Combine fixed neighbor offsets with learned per-pixel offsets into a
     normalized sampling grid (reference: patchmatch.py:396-426).
 
@@ -617,9 +679,12 @@ def build_offset_grid(
             neighbor k (same channel convention as the reference conv output).
         fixed: K static (y, x) offsets.
     Returns:
-        [B, K, H, W, 2] normalized grid. Note the reference normalizes with
-        the align_corners=True convention but samples with
-        align_corners=False — reproduced as-is.
+        (gx, gy) normalized grids, each [B, K, H, W] — kept as SEPARATE
+        dense arrays rather than the torch [B, K, H, W, 2] stack: a
+        trailing 2-dim tiles T(2,128) on TPU and the stack/unstack around
+        it lowers to serial while-loops (measured, see grid_sample_2d).
+        Note the reference normalizes with the align_corners=True convention
+        but samples with align_corners=False — reproduced as-is.
     """
     batch = offset.shape[0]
     k = len(fixed)
@@ -629,13 +694,17 @@ def build_offset_grid(
         indexing="ij",
     )
     off = offset.reshape(batch, height, width, k, 2)
-    fixed_arr = jnp.asarray([(fx, fy) for (fy, fx) in fixed], dtype=offset.dtype)
-    # [B, H, W, K, 2] absolute sample positions (x, y)
-    xy = jnp.stack([x, y], axis=-1)[None, :, :, None, :] + fixed_arr + off
-    gx = xy[..., 0] / ((width - 1) / 2.0) - 1.0
-    gy = xy[..., 1] / ((height - 1) / 2.0) - 1.0
-    grid = jnp.stack([gx, gy], axis=-1)  # [B, H, W, K, 2]
-    return jnp.transpose(grid, (0, 3, 1, 2, 4))  # [B, K, H, W, 2]
+    fixed_x = jnp.asarray([fx for (_, fx) in fixed], dtype=offset.dtype)
+    fixed_y = jnp.asarray([fy for (fy, _) in fixed], dtype=offset.dtype)
+    # [B, H, W, K] absolute sample positions
+    ax = x[None, :, :, None] + fixed_x + off[..., 0]
+    ay = y[None, :, :, None] + fixed_y + off[..., 1]
+    gx = ax / ((width - 1) / 2.0) - 1.0
+    gy = ay / ((height - 1) / 2.0) - 1.0
+    return (
+        jnp.transpose(gx, (0, 3, 1, 2)),  # [B, K, H, W]
+        jnp.transpose(gy, (0, 3, 1, 2)),
+    )
 
 
 class PatchMatch(nn.Module):

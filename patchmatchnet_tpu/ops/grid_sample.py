@@ -39,7 +39,7 @@ def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndar
 )
 def grid_sample_2d(
     image: jnp.ndarray,
-    grid: jnp.ndarray,
+    grid,
     *,
     align_corners: bool,
     padding_mode: str,
@@ -49,7 +49,12 @@ def grid_sample_2d(
 
     Args:
         image: [B, H, W, C] features.
-        grid: [B, ..., 2] normalized (x, y) coordinates in [-1, 1].
+        grid: normalized (x, y) coordinates in [-1, 1] — either a stacked
+            [B, ..., 2] array (torch grid layout) or a (gx, gy) tuple of
+            [B, ...] arrays. Prefer the tuple on TPU: a trailing 2-dim
+            forces a T(2,128)-tiled layout and XLA lowers the stack/unstack
+            around it to serial while-loops (measured ~3 ms/forward at the
+            DTU eval config).
         align_corners: torch semantics flag (see module docstring).
         padding_mode: "zeros" or "border".
         method: "quad" (default) or "taps4".
@@ -61,11 +66,19 @@ def grid_sample_2d(
         raise ValueError(f"Unsupported padding_mode: {padding_mode}")
 
     batch, height, width, channels = image.shape
-    out_shape = grid.shape[:-1] + (channels,)
-    grid2 = grid.reshape(batch, -1, 2)
+    if isinstance(grid, (tuple, list)):
+        gx, gy = grid
+        out_shape = gx.shape + (channels,)
+        gx = gx.reshape(batch, -1)
+        gy = gy.reshape(batch, -1)
+    else:
+        out_shape = grid.shape[:-1] + (channels,)
+        grid2 = grid.reshape(batch, -1, 2)
+        gx = grid2[..., 0]
+        gy = grid2[..., 1]
 
-    ix = _unnormalize(grid2[..., 0], width, align_corners)
-    iy = _unnormalize(grid2[..., 1], height, align_corners)
+    ix = _unnormalize(gx, width, align_corners)
+    iy = _unnormalize(gy, height, align_corners)
 
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, width - 1)

@@ -57,13 +57,22 @@ def _pack_joint_u16(x_norm_img: jnp.ndarray, cost_img: jnp.ndarray) -> jnp.ndarr
     return jnp.concatenate([xq, cu], axis=-1)
 
 
-def _grid_pixel_coords(grid: jnp.ndarray, height: int, width: int):
-    """[B, Ke, H, W, 2] normalized (align_corners=False) -> border-clamped
-    pixel coords ix, iy [B, Ke, H*W] f32."""
-    b, ke = grid.shape[:2]
-    g2 = grid.reshape(b, ke, -1, 2)
-    ix = ((g2[..., 0] + 1.0) * width - 1.0) * 0.5
-    iy = ((g2[..., 1] + 1.0) * height - 1.0) * 0.5
+def _grid_pixel_coords(grid, height: int, width: int):
+    """Normalized grid (align_corners=False) -> border-clamped pixel coords
+    ix, iy [B, Ke, H*W] f32. `grid` is a (gx, gy) tuple of [B, Ke, H, W]
+    arrays or a stacked [B, Ke, H, W, 2] array (see grid_sample_2d)."""
+    if isinstance(grid, (tuple, list)):
+        gx, gy = grid
+        b, ke = gx.shape[:2]
+        gx = gx.reshape(b, ke, -1)
+        gy = gy.reshape(b, ke, -1)
+    else:
+        b, ke = grid.shape[:2]
+        g2 = grid.reshape(b, ke, -1, 2)
+        gx = g2[..., 0]
+        gy = g2[..., 1]
+    ix = ((gx + 1.0) * width - 1.0) * 0.5
+    iy = ((gy + 1.0) * height - 1.0) * 0.5
     return jnp.clip(ix, 0.0, width - 1), jnp.clip(iy, 0.0, height - 1)
 
 
@@ -257,7 +266,7 @@ def _jnp_score(taps, fxy, xc, fw, inv_interval, d, ke):
 def eval_grid_score(
     x_norm_img: jnp.ndarray,
     cost_img: jnp.ndarray,
-    grid: jnp.ndarray,
+    grid,
     feature_weight: jnp.ndarray,
     interval_scale: float,
 ) -> jnp.ndarray:
@@ -266,15 +275,16 @@ def eval_grid_score(
     Args:
         x_norm_img: [B, H, W, D] normalized inverse depth (f32, in [0, 1]).
         cost_img: [B, H, W, D] SimilarityNet output.
-        grid: [B, Ke, H, W, 2] normalized eval sampling grid
-            (align_corners=False convention, border padding).
+        grid: normalized eval sampling grid (align_corners=False
+            convention, border padding) — (gx, gy) tuple of [B, Ke, H, W]
+            arrays or a stacked [B, Ke, H, W, 2] array.
         feature_weight: [B, Ke, H, W] f32.
     Returns:
         score [B, H, W, D] f32 = sum_k w_k c_k / sum_k w_k.
     """
     b, h, w, d = x_norm_img.shape
     assert d & (d - 1) == 0, f"D must be a power of two, got {d}"
-    ke = grid.shape[1]
+    ke = grid[0].shape[1] if isinstance(grid, (tuple, list)) else grid.shape[1]
     hw = h * w
     g = max(1, 128 // (2 * d))
 

@@ -136,6 +136,73 @@ def _d_chunk(d: int, tw: int) -> int:
     return d
 
 
+def _col_pack(c4: int) -> int:
+    """Column-pack factor for the window operand: a [.., Wt, C4] table
+    with C4=64 (stage-1 C=16) tiles its minor dim 64 -> 128 lanes, i.e.
+    2x physical inflation on every windowed byte. Packing column PAIRS
+    ([.., Wt/2, 128]) makes the minor dim exactly one lane tile — memory
+    order (row, col, c) is unchanged, so band.reshape(K, C4) and the
+    one-hot index are untouched. C4 >= 128 is already lane-dense."""
+    return 2 if c4 < 128 else 1
+
+
+def _load_band(win_ref, r0, hband: int, wwin: int, c4: int, prefix=()):
+    """Load the [K, C4] band matrix from a column-packed window ref
+    [..., hwin, wwin/pf, pf*c4].
+
+    pf=1: natural (band_row, col) row order. pf=2: Mosaic cannot shape-cast
+    lanes 128 -> 64, so the two packed columns are LANE-SLICED apart (a
+    supported static slice) and stacked as two row blocks — row order
+    (col parity, band_row, col/2), matched by `_band_index`."""
+    pf = _col_pack(c4)
+    band = win_ref[prefix + (pl.ds(r0, hband),)]  # [hband, wwin/pf, pf*c4]
+    if pf == 1:
+        return band.reshape(hband * wwin, c4)
+    half = hband * (wwin // 2)
+    even = band[:, :, :c4].reshape(half, c4)
+    odd = band[:, :, c4:].reshape(half, c4)
+    # Mosaic cannot shape-cast or concatenate across the lane split; the
+    # halves stay separate and `_band_matmul` contracts each against the
+    # matching one-hot row block.
+    return even, odd
+
+
+def _band_matmul(band, h):
+    """taps [C4, S] = band^T @ one-hot, handling the pf=2 two-block form."""
+    if isinstance(band, tuple):
+        even, odd = band
+        half = even.shape[0]
+        t0 = jax.lax.dot_general(
+            even, h[:half], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t1 = jax.lax.dot_general(
+            odd, h[half:], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return t0 + t1
+    return jax.lax.dot_general(
+        band, h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _band_index(qx, ry, hband: int, wwin: int, c4: int):
+    """Linearized one-hot index matching `_load_band`'s row order; -1 for
+    out-of-window samples. pf=1: (band_row, col), out-of-band rows fall
+    outside [0, K) on their own. pf=2: (parity, band_row, col/2) — the
+    parity fold can alias the other parity block when ry leaves
+    [0, hband), so ry is guarded explicitly (unsigned compare)."""
+    pf = _col_pack(c4)
+    if pf == 1:
+        li = ry * wwin + qx
+        return jnp.where((qx >= 0) & (qx < wwin), li, -1)
+    half = hband * (wwin // 2)
+    li = (qx & 1) * half + ry * (wwin // 2) + (qx >> 1)
+    ok = (qx >= 0) & (qx < wwin) & (ry.astype(jnp.uint32) < hband)
+    return jnp.where(ok, li, -1)
+
+
 def make_quad_table_2d(image: jnp.ndarray) -> jnp.ndarray:
     """[B, H, W, C] features -> zeros-padded 2-D quad table
     [B, H+pad, W+pad, 4C] with Q[y, x] = (I[y-1,x-1], I[y-1,x], I[y,x-1],
@@ -291,8 +358,7 @@ def _kernel(cfg, c: int, g: int,
     sc = dc * cfg.tw
     for rr in range(cfg.th):
         r0 = r0_ref[t * cfg.th + rr]
-        band = win_ref[0, pl.ds(r0, cfg.hband)]  # [HBAND, WWIN, C4]
-        band_flat = band.reshape(k, c4)
+        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0,))
         for ch in range(d // dc):
             sl = slice(ch * sc, (ch + 1) * sc)
             ix = cxy_ref[0, 0, 0, 0, rr, sl]  # [SC] f32
@@ -302,19 +368,12 @@ def _kernel(cfg, c: int, g: int,
             y0f = jnp.floor(iy)
             qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
             qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
-            # one-hot as a SINGLE compare against the linearized in-window
-            # index (row, col folded): out-of-band rows fall outside [0, K)
-            # on their own; out-of-window cols must be forced to -1 so they
-            # cannot alias into an adjacent row. Halves the VPU work of the
-            # [K, SC] one-hot build vs a 2-compare + AND formulation.
+            # one-hot: single compare against the linearized chunk-ordered
+            # band index (out-of-window/-band samples forced to -1)
             ry = qy - r0
-            li = jnp.where((qx >= 0) & (qx < cfg.wwin), ry * cfg.wwin + qx, -1)
+            li = _band_index(qx, ry, cfg.hband, cfg.wwin, c4)
             h = (j_lin == li[None, :]).astype(jnp.bfloat16)
-            taps = jax.lax.dot_general(
-                band_flat, h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [C4, SC]
+            taps = _band_matmul(band_flat, h)  # [C4, SC]
             warped = (taps[0 * c:1 * c] * w00[None, :]
                       + taps[1 * c:2 * c] * w01[None, :]
                       + taps[2 * c:3 * c] * w10[None, :]
@@ -337,7 +396,13 @@ def _kernel_proj(cfg, c: int, g: int,
     (reference: models/module.py:148-169). This removes the [B, D, H, W]
     ix/iy materialization, their tile transposes, and half the per-tile
     coordinate DMA — the glue around the kernel measured comparable to the
-    kernel itself."""
+    kernel itself.
+
+    The window operand arrives LANE-FLATTENED [B, Ht, Wt*4C]: a
+    [B, Ht, Wt, 4C] block would tile its 4C=16..256 minor dim to 128 lanes
+    (2x physical inflation at C=16), and the window overlap between
+    adjacent tiles already amplifies reads ~2.6x — flattening makes every
+    windowed byte a real byte."""
     c4 = 4 * c
     k = cfg.hband * cfg.wwin
     ty_i = pl.program_id(1)
@@ -361,8 +426,7 @@ def _kernel_proj(cfg, c: int, g: int,
     hf = jnp.float32(cfg.img_h)
     for rr in range(cfg.th):
         r0 = r0_ref[t * cfg.th + rr]
-        band = win_ref[0, pl.ds(r0, cfg.hband)]  # [HBAND, WWIN, C4]
-        band_flat = band.reshape(k, c4)
+        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0,))
         for ch in range(d // dc):
             sl = slice(ch * sc, (ch + 1) * sc)
             dep = dep_ref[0, 0, 0, 0, rr, sl]  # [SC] f32
@@ -382,13 +446,9 @@ def _kernel_proj(cfg, c: int, g: int,
             qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
             qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
             ryy = qy - r0
-            li = jnp.where((qx >= 0) & (qx < cfg.wwin), ryy * cfg.wwin + qx, -1)
+            li = _band_index(qx, ryy, cfg.hband, cfg.wwin, c4)
             h = (j_lin == li[None, :]).astype(jnp.bfloat16)
-            taps = jax.lax.dot_general(
-                band_flat, h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [C4, SC]
+            taps = _band_matmul(band_flat, h)  # [C4, SC]
             warped = (taps[0 * c:1 * c] * w00[None, :]
                       + taps[1 * c:2 * c] * w01[None, :]
                       + taps[2 * c:3 * c] * w10[None, :]
@@ -407,6 +467,7 @@ def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
     b, d, h, w = ix.shape  # padded dims
     _, table_h, table_w, c4 = quad2d.shape
     c = c4 // 4
+    pf = _col_pack(c4)
     g = gm.shape[1]
     s = d * cfg.tw
 
@@ -444,11 +505,13 @@ def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
                          lambda bb, ty, tx, *_: (bb, ty, tx, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (E(1), E(cfg.hwin), E(cfg.wwin), E(c4)),
+                (E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
                 lambda bb, ty, tx, oy_s, ox_s, r0_s: (
                     bb,
                     pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),
-                    pl.multiple_of(ox_s[(bb * cfg.ty + ty) * cfg.tx + tx], 16),
+                    pl.multiple_of(
+                        ox_s[(bb * cfg.ty + ty) * cfg.tx + tx] // pf, 16 // pf
+                    ),
                     0,
                 ),
                 memory_space=pltpu.VMEM,
@@ -463,7 +526,8 @@ def _pallas_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
         functools.partial(_kernel, kcfg, c, g),
         out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
         grid_spec=grid_spec,
-    )(oy, ox, r0, cxy, ref_t, quad2d, gm)
+    )(oy, ox, r0, cxy, ref_t,
+      quad2d.reshape(b, table_h, table_w // pf, pf * c4), gm)
     # [B, G, TY, TX, th, (D, TW)] -> [B, G, D, H, W]
     out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
     out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
@@ -550,8 +614,7 @@ def _kernel_views(cfg, c: int, g: int, nv: int,
     hf = jnp.float32(cfg.img_h)
     for rr in range(cfg.th):
         r0 = r0_ref[t * cfg.th + rr]
-        band = win_ref[0, 0, pl.ds(r0, cfg.hband)]  # [HBAND, WWIN, C4]
-        band_flat = band.reshape(k, c4)
+        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0, 0))
         vw_row = vw_ref[0, 0, 0, 0, rr][None, :]  # [1, TW] f32
         vw_rep = pltpu.repeat(vw_row, dc, axis=1)  # [1, SC]
         for ch in range(d // dc):
@@ -573,13 +636,9 @@ def _kernel_views(cfg, c: int, g: int, nv: int,
             qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
             qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
             ryy = qy - r0
-            li = jnp.where((qx >= 0) & (qx < cfg.wwin), ryy * cfg.wwin + qx, -1)
+            li = _band_index(qx, ryy, cfg.hband, cfg.wwin, c4)
             h = (j_lin == li[None, :]).astype(jnp.bfloat16)
-            taps = jax.lax.dot_general(
-                band_flat, h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [C4, SC]
+            taps = _band_matmul(band_flat, h)  # [C4, SC]
             warped = (taps[0 * c:1 * c] * w00[None, :]
                       + taps[1 * c:2 * c] * w01[None, :]
                       + taps[2 * c:3 * c] * w10[None, :]
@@ -610,6 +669,7 @@ def _pallas_windowed_views(quad_v, mat_v, depth_p, coords, ref_feature,
     b, d, h, w = depth_p.shape  # padded dims
     _, nv, table_h, table_w, c4 = quad_v.shape
     c = c4 // 4
+    pf = _col_pack(c4)
     g = gm.shape[1]
     s = d * cfg.tw
 
@@ -659,7 +719,7 @@ def _pallas_windowed_views(quad_v, mat_v, depth_p, coords, ref_feature,
                          lambda bb, ty, tx, v, *_: (bb, v, ty, tx, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (E(1), E(1), E(cfg.hwin), E(cfg.wwin), E(c4)),
+                (E(1), E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
                 lambda bb, ty, tx, v, oy_s, ox_s, r0_s, mat_s: (
                     bb,
                     v,
@@ -667,7 +727,8 @@ def _pallas_windowed_views(quad_v, mat_v, depth_p, coords, ref_feature,
                         oy_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx], 8
                     ),
                     pl.multiple_of(
-                        ox_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx], 16
+                        ox_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx] // pf,
+                        16 // pf,
                     ),
                     0,
                 ),
@@ -684,7 +745,8 @@ def _pallas_windowed_views(quad_v, mat_v, depth_p, coords, ref_feature,
         functools.partial(_kernel_views, kcfg, c, g, nv),
         out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
         grid_spec=grid_spec,
-    )(oy, ox, r0, mat_v.reshape(-1), dep_t, ref_t, vw_t, quad_v, gm)
+    )(oy, ox, r0, mat_v.reshape(-1), dep_t, ref_t, vw_t,
+      quad_v.reshape(b, nv, table_h, table_w // pf, pf * c4), gm)
     out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
     out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
     return out.reshape(b, g, d, h, w)
@@ -781,6 +843,7 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
     b, d, h, w = depth_p.shape  # padded dims
     _, table_h, table_w, c4 = quad2d.shape
     c = c4 // 4
+    pf = _col_pack(c4)
     g = gm.shape[1]
     s = d * cfg.tw
 
@@ -819,11 +882,13 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
                          lambda bb, ty, tx, *_: (bb, ty, tx, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (E(1), E(cfg.hwin), E(cfg.wwin), E(c4)),
+                (E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
                 lambda bb, ty, tx, oy_s, ox_s, r0_s: (
                     bb,
                     pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),
-                    pl.multiple_of(ox_s[(bb * cfg.ty + ty) * cfg.tx + tx], 16),
+                    pl.multiple_of(
+                        ox_s[(bb * cfg.ty + ty) * cfg.tx + tx] // pf, 16 // pf
+                    ),
                     0,
                 ),
                 memory_space=pltpu.VMEM,
@@ -838,7 +903,8 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
         functools.partial(_kernel_proj, kcfg, c, g),
         out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
         grid_spec=grid_spec,
-    )(oy, ox, r0, mat12, dep_t, ref_t, quad2d, gm)
+    )(oy, ox, r0, mat12, dep_t, ref_t,
+      quad2d.reshape(b, table_h, table_w // pf, pf * c4), gm)
     out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
     out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
     return out.reshape(b, g, d, h, w)
