@@ -101,7 +101,12 @@ def bench_train(args, emit=True):
     }
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    model = PatchmatchNet()
+    # the driver's default trainer is bf16 mixed precision (f32 params/BN/
+    # loss/optimizer; ModelConfig.train_precision) — bench it as shipped;
+    # --train-f32 measures the reference-parity f32 trainer instead
+    model = PatchmatchNet(
+        compute_dtype=None if getattr(args, "train_f32", False) else jnp.bfloat16
+    )
     # jit the init: eager init dispatches every layer op individually, which
     # costs minutes of round-trip latency on the tunneled TPU (measured; the
     # same lesson as the multichip dryrun, parallel/dryrun.py)
@@ -175,6 +180,12 @@ def main():
         "--no-train-metric",
         action="store_true",
         help="skip the train-step throughput side metric in the JSON line",
+    )
+    parser.add_argument(
+        "--train-f32",
+        action="store_true",
+        help="benchmark the f32 (reference-parity) trainer instead of the "
+        "default bf16 mixed-precision trainer",
     )
     parser.add_argument(
         "--no-diagnostics",
@@ -366,6 +377,9 @@ def main():
             samples_s = bench_train(targs, emit=False)
             record["train_samples_per_s"] = round(samples_s, 3)
             record["train_vs_round1"] = round(samples_s / 1.64, 3)
+            record["train_precision"] = (
+                "f32" if getattr(targs, "train_f32", False) else "bf16"
+            )
         except Exception as exc:  # never break the primary metric
             record["train_error"] = str(exc)[:200]
     print(json.dumps(record), flush=True)

@@ -30,7 +30,12 @@ def _add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--evaluate_neighbors", nargs="+", type=int, default=[9, 9, 9])
     p.add_argument("--precision", type=str, default="bf16", choices=["bf16", "f32"],
                    help="inference compute precision (bf16 payloads with f32 "
-                   "weights/accumulation, or full f32); training is always f32")
+                   "weights/accumulation, or full f32)")
+    p.add_argument("--train_precision", type=str, default="bf16",
+                   choices=["bf16", "f32"],
+                   help="training precision: bf16 = mixed precision (bf16 "
+                   "payloads, f32 params/BN/loss/optimizer; ~1.4x faster on "
+                   "TPU), f32 = exact reference-trainer parity")
 
 
 def _add_data_args(p: argparse.ArgumentParser, eval_defaults: bool = False) -> None:

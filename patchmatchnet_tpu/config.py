@@ -24,8 +24,16 @@ class ModelConfig:
     # "bf16": bfloat16 feature/gather payloads with f32 weights and
     # accumulation (inference default; median depth delta vs f32 measured at
     # ~0.03% of depth — PROGRESS.md precision table). "f32": full precision,
-    # bit-close to the PyTorch reference; training uses f32.
+    # bit-close to the PyTorch reference.
     precision: str = "bf16"
+    # Training precision. "bf16" = mixed precision: bf16 feature/warp
+    # payloads, f32 parameters, BatchNorm statistics, loss and optimizer
+    # state, with the windowed sampler + its custom-VJP backward on the
+    # warp path (measured 3.72 vs 2.67 samples/s at the DTU config; loss
+    # trajectories match f32 — PROGRESS.md round-4 training table). "f32"
+    # reproduces the reference trainer exactly (reference: train.py is
+    # full-f32 torch).
+    train_precision: str = "bf16"
 
 
 @dataclass

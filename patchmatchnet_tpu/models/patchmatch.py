@@ -537,6 +537,7 @@ class Evaluation(nn.Module):
         # PATCHMATCHNET_TPU_EVAL_FUSED=0 to fall back to the XLA tail.
         eval_fused = (
             sampler == "windowed"
+            and not train  # eval_tail is inference-only (no gradients)
             and os.environ.get("PATCHMATCHNET_TPU_EVAL_FUSED", "1") == "1"
             and num_depth & (num_depth - 1) == 0
         )
@@ -797,13 +798,20 @@ class PatchMatch(nn.Module):
         feature_weight = None  # computed inside the first evaluation pass
 
         # Sampler selection: the windowed Pallas path (exact, gather-free;
-        # ops/pallas/windowed_similarity.py) runs at inference on the bf16
-        # path when the stage shape tiles cleanly; training and f32 use the
-        # quad-gather path (differentiable custom-VJP kernel).
+        # ops/pallas/windowed_similarity.py) runs on the bf16 path when the
+        # stage shape tiles cleanly — at inference AND, since its custom
+        # VJP landed, in bf16 training (PATCHMATCHNET_TPU_TRAIN_SAMPLER=
+        # gather opts out). f32 uses the quad-gather path (the kernel's
+        # one-hot matmul needs bf16 tables), so f32 training — the
+        # reference-parity configuration — is unchanged.
         sampler = "gather"
         win_stages = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3")
+        train_windowed = (
+            os.environ.get("PATCHMATCHNET_TPU_TRAIN_SAMPLER", "windowed")
+            == "windowed"
+        )
         if (
-            not train
+            (not train or train_windowed)
             and self.dtype is not None
             and jnp.dtype(self.dtype).itemsize < 4
             and os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed") == "windowed"

@@ -237,8 +237,11 @@ def _pallas_bwd(taps, w4, ref, gm, dout, num_depth):
     c = ref.shape[-1]
     g = gm.shape[1]
     hwp = p // num_depth
-    # in+out traffic is ~2x the forward's; halve the tile budget accordingly
-    tile = _tile_rows(hwp, c4, c, 2 * max(taps.dtype.itemsize, 2))
+    # in+out traffic is ~2x the forward's, plus the dref accumulator and
+    # Mosaic's own stack temporaries: a 2x factor measured 76 KB OVER the
+    # 16 MB scoped-vmem limit at the stage-3 bf16 backward (D=48, C=64),
+    # so budget for 3x
+    tile = _tile_rows(hwp, c4, c, 3 * max(taps.dtype.itemsize, 2))
     nj = hwp // tile
     grid = (b, nj, num_depth)
     interpret = jax.default_backend() == "cpu"

@@ -405,9 +405,10 @@ def _kernel_proj(cfg, c: int, g: int,
     windowed byte a real byte."""
     c4 = 4 * c
     k = cfg.hband * cfg.wwin
+    bb = pl.program_id(0)
     ty_i = pl.program_id(1)
     tx_i = pl.program_id(2)
-    t = (pl.program_id(0) * pl.num_programs(1) + ty_i) * pl.num_programs(2) + tx_i
+    t = (bb * pl.num_programs(1) + ty_i) * pl.num_programs(2) + tx_i
     oy = oy_ref[t]
     ox = ox_ref[t]
     j_lin = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
@@ -421,7 +422,9 @@ def _kernel_proj(cfg, c: int, g: int,
         jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1) % cfg.tw
         + tx_i * cfg.tw
     ).astype(jnp.float32)[0]
-    m = [mat_ref[0, i] for i in range(12)]
+    # mat arrives as a prefetch scalar [B*12] (an SMEM (1, 12) block would
+    # violate the last-two-dims block rule at batch > 1)
+    m = [mat_ref[bb * 12 + i] for i in range(12)]
     wf = jnp.float32(cfg.img_w)
     hf = jnp.float32(cfg.img_h)
     for rr in range(cfg.th):
@@ -870,11 +873,9 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
 
     E = pallas_core.Element
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, cfg.ty, cfg.tx),
         in_specs=[
-            pl.BlockSpec((1, 12), lambda bb, ty, tx, *_: (bb, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, 1, cfg.th, s),
                          lambda bb, ty, tx, *_: (bb, 0, ty, tx, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -883,7 +884,7 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
-                lambda bb, ty, tx, oy_s, ox_s, r0_s: (
+                lambda bb, ty, tx, oy_s, ox_s, r0_s, mat_s: (
                     bb,
                     pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),
                     pl.multiple_of(
@@ -903,27 +904,232 @@ def _pallas_windowed_proj(quad2d, mat12, depth_p, ix, iy, ref_feature, gm,
         functools.partial(_kernel_proj, kcfg, c, g),
         out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
         grid_spec=grid_spec,
-    )(oy, ox, r0, mat12, dep_t, ref_t,
+    )(oy, ox, r0, mat12.reshape(-1), dep_t, ref_t,
       quad2d.reshape(b, table_h, table_w // pf, pf * c4), gm)
     out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
     out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
     return out.reshape(b, g, d, h, w)
 
 
-def windowed_group_similarity_proj(quad2d, mat12, depth, ref_feature, gm,
-                                   cfg: WindowConfig):
-    """Fused warp + similarity with IN-KERNEL coordinate computation.
+def _bwd_d_chunk(d: int, tw: int, c4: int, th: int) -> int:
+    """Per-grid-step depth chunk for the backward kernel: the d_taps block
+    (1, C4, 1, 1, th, dc*tw) must stay ~2.5 MB (bf16) so the window block
+    and double buffering fit scoped VMEM. Largest divisor of d with
+    (dc*tw) % 128 == 0 under that budget; falls back to the smallest
+    128-aligned divisor."""
+    budget = int(2.5 * 1024 * 1024)
+    best = None
+    for dc in range(d, 0, -1):
+        if d % dc or (dc * tw) % 128:
+            continue
+        if best is None:
+            best = dc  # smallest budget-violating fallback so far
+        if c4 * th * dc * tw * 2 <= budget:
+            return dc
+        best = dc
+    return best if best is not None else d
 
-    Args:
-        quad2d: padded quad table from make_quad_table_2d (bf16 for Pallas).
-        mat12: [B, 12] f32 — (src_proj @ inv(ref_proj))[:, :3, :4] flattened
-            row-major (see ops.warp.warp_proj_coeffs).
-        depth: [B, D, H, W] f32 depth hypotheses on the reference grid.
-        ref_feature: [B, H, W, C] reference features.
-        gm: [C, G] f32 group-mean matrix.
-    Returns:
-        [B, G, D, H, W] f32 similarity volume (per view, unweighted).
-    """
+
+def _kernel_proj_bwd(cfg, c: int, g: int, dc: int,
+                     oy_ref, ox_ref, r0_ref, mat_ref, dep_ref, ref_ref,
+                     win_ref, gm_ref, dout_ref, dtaps_ref, dref_ref):
+    """Backward of `_kernel_proj` w.r.t. the quad table and ref features.
+
+    Per (batch, tile, d-chunk) grid step, for each ref row: recompute the
+    forward coordinates, one-hot and taps IN VMEM (no HBM gather), then
+
+        d_prod  = gm @ dout                     # [C, S]
+        d_ref  += fold_d(d_prod * warped)       # [C, TW], revisited out
+        d_taps  = (d_prod * ref) * w4_t         # [4C, S] -> HBM (bf16)
+
+    masked to zero where the forward one-hot matched nothing (escaped or
+    off-image samples contributed exactly zero, so their cotangent is
+    zero). The d-chunk axis is the FASTEST grid dim so the window block
+    stays resident across chunks. The quad-table scatter of d_taps and the
+    depth/projection stop-gradients (reference: models/module.py:147 grid
+    built under no_grad) live in `_wgsp_bwd`."""
+    c4 = 4 * c
+    k = cfg.hband * cfg.wwin
+    bb = pl.program_id(0)
+    ty_i = pl.program_id(1)
+    tx_i = pl.program_id(2)
+    ch = pl.program_id(3)
+    t = (bb * pl.num_programs(1) + ty_i) * pl.num_programs(2) + tx_i
+    oy = oy_ref[t]
+    ox = ox_ref[t]
+    j_lin = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    gm = gm_ref[:]  # [C, G] f32
+
+    sc = dc * cfg.tw
+    u = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1) % cfg.tw
+        + tx_i * cfg.tw
+    ).astype(jnp.float32)[0]
+    m = [mat_ref[bb * 12 + i] for i in range(12)]
+    wf = jnp.float32(cfg.img_w)
+    hf = jnp.float32(cfg.img_h)
+    for rr in range(cfg.th):
+        r0 = r0_ref[t * cfg.th + rr]
+        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0,))
+        dep = dep_ref[0, 0, 0, 0, rr, :]  # [SC] f32 (block pre-sliced by ch)
+        vv = jnp.float32(ty_i * cfg.th + rr)
+        rx = m[0] * u + (m[1] * vv + m[2])
+        ry = m[4] * u + (m[5] * vv + m[6])
+        rz = m[8] * u + (m[9] * vv + m[10])
+        px = rx * dep + m[3]
+        py = ry * dep + m[7]
+        pz = rz * dep + m[11]
+        neg = pz <= 1e-3
+        ix = jnp.where(neg, wf, px / pz)
+        iy = jnp.where(neg, hf, py / pz)
+        w00, w01, w10, w11 = _bilinear_weights(ix, iy, cfg.img_h, cfg.img_w)
+        x0f = jnp.floor(ix)
+        y0f = jnp.floor(iy)
+        qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
+        qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
+        ryy = qy - r0
+        li = _band_index(qx, ryy, cfg.hband, cfg.wwin, c4)
+        h = (j_lin == li[None, :]).astype(jnp.bfloat16)
+        taps = _band_matmul(band_flat, h)  # [C4, SC]
+        warped = (taps[0 * c:1 * c] * w00[None, :]
+                  + taps[1 * c:2 * c] * w01[None, :]
+                  + taps[2 * c:3 * c] * w10[None, :]
+                  + taps[3 * c:4 * c] * w11[None, :])  # [C, SC]
+        dout = dout_ref[0, :, 0, 0, rr, :]  # [G, SC] f32
+        d_prod = jax.lax.dot_general(
+            gm, dout, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [C, SC]
+        # forward zeroed escaped samples via the one-hot; zero their
+        # cotangents the same way (off-image taps are zeroed by w4 already)
+        d_prod = jnp.where(li[None, :] >= 0, d_prod, 0.0)
+        contrib = d_prod * warped  # [C, SC]
+        acc = contrib[:, 0 * cfg.tw:1 * cfg.tw]
+        for j in range(1, dc):
+            acc = acc + contrib[:, j * cfg.tw:(j + 1) * cfg.tw]
+
+        @pl.when(ch == 0)
+        def _():
+            dref_ref[0, 0, 0, rr] = acc
+
+        @pl.when(ch > 0)
+        def _():
+            dref_ref[0, 0, 0, rr] = dref_ref[0, 0, 0, rr] + acc
+
+        ref_rep = pltpu.repeat(ref_ref[0, 0, 0, rr].astype(jnp.float32), dc, axis=1)
+        d_warped = d_prod * ref_rep  # [C, SC]
+        for tp, wt in enumerate((w00, w01, w10, w11)):
+            dtaps_ref[0, tp * c:(tp + 1) * c, 0, 0, rr, :] = (
+                d_warped * wt[None, :]
+            ).astype(dtaps_ref.dtype)
+
+
+def _tile_dout(dout_p, cfg: WindowConfig):
+    """[B, G, D, HP, WP] -> [B, G, TY, TX, th, D*TW] (lanes (d, px))."""
+    b, g, d, hp, wp = dout_p.shape
+    a = dout_p.reshape(b, g, d, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    return jnp.transpose(a, (0, 1, 3, 5, 4, 2, 6)).reshape(
+        b, g, cfg.ty, cfg.tx, cfg.th, d * cfg.tw
+    )
+
+
+def _pallas_windowed_proj_bwd(quad2d, mat12, depth_p, ix, iy, ref_feature,
+                              gm, dout_p, cfg: WindowConfig,
+                              img_h: int, img_w: int):
+    """Run the backward kernel; returns (d_taps [B, P, 4C] in table dtype
+    with P = (d, h, w) over the PADDED grid, d_ref [B, HP, WP, C] f32)."""
+    b, d, hp, wp = depth_p.shape
+    _, table_h, table_w, c4 = quad2d.shape
+    c = c4 // 4
+    pf = _col_pack(c4)
+    g = gm.shape[1]
+    dc = _bwd_d_chunk(d, cfg.tw, c4, cfg.th)
+    nch = d // dc
+    sc = dc * cfg.tw
+    s = d * cfg.tw
+
+    oy, ox, r0 = _origins(ix, iy, cfg, img_h, img_w, table_h, table_w)
+    dep_t = _tile_coords(depth_p, cfg)[:, None]  # [B, 1, TY, TX, th, s]
+    ref_t = ref_feature.reshape(b, cfg.ty, cfg.th, cfg.tx, cfg.tw, c)
+    ref_t = jnp.transpose(ref_t, (0, 1, 3, 2, 5, 4))
+    dout_t = _tile_dout(dout_p.astype(jnp.float32), cfg)
+
+    class _Cfg(NamedTuple):
+        th: int
+        tw: int
+        ty: int
+        tx: int
+        wwin: int
+        hband: int
+        hp: int
+        wp: int
+        hwin: int
+        img_h: int
+        img_w: int
+
+    kcfg = _Cfg(*cfg, img_h, img_w)
+
+    E = pallas_core.Element
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, cfg.ty, cfg.tx, nch),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, cfg.th, sc),
+                         lambda bb, ty, tx, ch, *_: (bb, 0, ty, tx, 0, ch),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cfg.th, c, cfg.tw),
+                         lambda bb, ty, tx, ch, *_: (bb, ty, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
+                lambda bb, ty, tx, ch, oy_s, ox_s, r0_s, mat_s: (
+                    bb,
+                    pl.multiple_of(oy_s[(bb * cfg.ty + ty) * cfg.tx + tx], 8),
+                    pl.multiple_of(
+                        ox_s[(bb * cfg.ty + ty) * cfg.tx + tx] // pf, 16 // pf
+                    ),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, g), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, 1, 1, cfg.th, sc),
+                         lambda bb, ty, tx, ch, *_: (bb, 0, ty, tx, 0, ch),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c4, 1, 1, cfg.th, sc),
+                         lambda bb, ty, tx, ch, *_: (bb, 0, ty, tx, 0, ch),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cfg.th, c, cfg.tw),
+                         lambda bb, ty, tx, ch, *_: (bb, ty, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    dtaps_t, dref_t = pl.pallas_call(
+        functools.partial(_kernel_proj_bwd, kcfg, c, g, dc),
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (b, c4, cfg.ty, cfg.tx, cfg.th, s), quad2d.dtype
+            ),
+            jax.ShapeDtypeStruct(
+                (b, cfg.ty, cfg.tx, cfg.th, c, cfg.tw), jnp.float32
+            ),
+        ),
+        grid_spec=grid_spec,
+    )(oy, ox, r0, mat12.reshape(-1), dep_t, ref_t,
+      quad2d.reshape(b, table_h, table_w // pf, pf * c4), gm, dout_t)
+
+    # [B, C4, TY, TX, th, (D, TW)] -> [B, (D, HP, WP), C4]
+    dtaps = dtaps_t.reshape(b, c4, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
+    dtaps = jnp.transpose(dtaps, (0, 5, 2, 4, 3, 6, 1))
+    dtaps = dtaps.reshape(b, d, hp, wp, c4)
+    # [B, TY, TX, th, C, TW] -> [B, HP, WP, C]
+    dref = jnp.transpose(dref_t, (0, 1, 3, 2, 5, 4)).reshape(b, hp, wp, c)
+    return dtaps, dref
+
+
+def _wgsp_impl(quad2d, mat12, depth, ref_feature, gm, cfg: WindowConfig):
     _, _, img_h, img_w = depth.shape
     depth_p, _, ref_feature = _pad_spatial(depth, depth, ref_feature, cfg)
     ix, iy = _coords_from_depth(mat12, depth_p, img_h, img_w)
@@ -938,6 +1144,88 @@ def windowed_group_similarity_proj(quad2d, mat12, depth, ref_feature, gm,
             quad2d, mat12, depth_p, ix, iy, ref_feature, gm, cfg, img_h, img_w
         )
     return out[:, :, :, :img_h, :img_w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def windowed_group_similarity_proj(quad2d, mat12, depth, ref_feature, gm,
+                                   cfg: WindowConfig):
+    """Fused warp + similarity with IN-KERNEL coordinate computation.
+
+    Args:
+        quad2d: padded quad table from make_quad_table_2d (bf16 for Pallas).
+        mat12: [B, 12] f32 — (src_proj @ inv(ref_proj))[:, :3, :4] flattened
+            row-major (see ops.warp.warp_proj_coeffs).
+        depth: [B, D, H, W] f32 depth hypotheses on the reference grid.
+        ref_proj/ref_feature: [B, H, W, C] reference features.
+        gm: [C, G] f32 group-mean matrix.
+    Returns:
+        [B, G, D, H, W] f32 similarity volume (per view, unweighted).
+
+    Differentiable w.r.t. quad2d and ref_feature (custom VJP: the backward
+    kernel recomputes taps in VMEM and emits tap cotangents + ref
+    gradients; an XLA scatter-add completes d_quad). depth/mat12 carry NO
+    gradient, mirroring the reference's no-grad warp grid (reference:
+    models/module.py:147); gm is the constant group-mean matrix.
+    """
+    return _wgsp_impl(quad2d, mat12, depth, ref_feature, gm, cfg)
+
+
+def _wgsp_fwd(quad2d, mat12, depth, ref_feature, gm, cfg):
+    out = _wgsp_impl(quad2d, mat12, depth, ref_feature, gm, cfg)
+    return out, (quad2d, mat12, depth, ref_feature, gm)
+
+
+def _wgsp_bwd(cfg, residuals, dout):
+    quad2d, mat12, depth, ref_feature, gm = residuals
+    zeros = (
+        jnp.zeros_like(mat12),
+        jnp.zeros_like(depth),
+        jnp.zeros_like(gm),
+    )
+    if (
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or not on_tpu()
+        or (depth.shape[1] * cfg.tw) % 128 != 0
+    ):
+        _, vjp = jax.vjp(
+            lambda q, r: _wgsp_impl(
+                q, jax.lax.stop_gradient(mat12),
+                jax.lax.stop_gradient(depth), r, gm, cfg
+            ),
+            quad2d,
+            ref_feature,
+        )
+        d_quad, d_ref = vjp(dout)
+        return (d_quad, zeros[0], zeros[1], d_ref, zeros[2])
+
+    b, d, img_h, img_w = depth.shape
+    _, table_h, table_w, c4 = quad2d.shape
+    depth_p, _, ref_p = _pad_spatial(depth, depth, ref_feature, cfg)
+    ix, iy = _coords_from_depth(mat12, depth_p, img_h, img_w)
+    dout_p = dout
+    if (cfg.hp, cfg.wp) != (img_h, img_w):
+        dout_p = jnp.pad(
+            dout,
+            ((0, 0), (0, 0), (0, 0), (0, cfg.hp - img_h), (0, cfg.wp - img_w)),
+        )
+    dtaps, dref_p = _pallas_windowed_proj_bwd(
+        quad2d, mat12, depth_p, ix, iy, ref_p, gm, dout_p, cfg, img_h, img_w
+    )
+    # scatter tap cotangents into the quad table at the forward cells
+    # (same lin-index formula as the _jnp_windowed oracle)
+    qx, qy, _ = _quad_cells(ix, iy, img_h, img_w)
+    lin = jnp.clip(qy, 0, table_h - 1) * table_w + jnp.clip(qx, 0, table_w - 1)
+    dtaps = dtaps[:, :, :img_h, :img_w].reshape(b, -1, c4)
+    lin = lin[:, :, :img_h, :img_w].reshape(b, -1)
+    d_quad = jnp.zeros(
+        (b, table_h * table_w, c4), quad2d.dtype
+    ).at[jnp.arange(b)[:, None], lin, :].add(dtaps)
+    d_quad = d_quad.reshape(b, table_h, table_w, c4)
+    d_ref = dref_p[:, :img_h, :img_w].astype(ref_feature.dtype)
+    return (d_quad, zeros[0], zeros[1], d_ref, zeros[2])
+
+
+windowed_group_similarity_proj.defvjp(_wgsp_fwd, _wgsp_bwd)
 
 
 def on_tpu() -> bool:

@@ -40,10 +40,13 @@ from patchmatchnet_tpu.utils.profiling import PhaseTimer, jax_trace
 
 def build_model(cfg: Config, inference: bool = False) -> PatchmatchNet:
     m = cfg.model
-    # bf16 payloads are an inference optimization; training stays f32
-    # regardless of cfg.model.precision (reference training is f32 torch).
+    # Inference precision from cfg.model.precision; training precision from
+    # cfg.model.train_precision (bf16 = mixed-precision trainer with f32
+    # params/BN/loss/optimizer — see ModelConfig for the measured evidence;
+    # --train_precision f32 reproduces the reference trainer exactly).
+    knob = "precision" if inference else "train_precision"
     dtype = None
-    if inference and getattr(m, "precision", "f32") == "bf16":
+    if getattr(m, knob, "f32") == "bf16":
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16

@@ -251,3 +251,35 @@ def test_orbax_resume_on_mesh(tmp_path, setup):
     )
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == int(state.step) + 1
+
+
+@pytest.mark.slow
+def test_bf16_mixed_precision_train_step_tracks_f32():
+    """The bf16 mixed-precision trainer (ModelConfig.train_precision
+    default: bf16 payloads + windowed sampler custom VJP, f32 params/BN/
+    loss/optimizer) must produce a loss trajectory tracking the
+    reference-parity f32 trainer."""
+    batch_np = tiny_batch(batch_size=1, num_views=2, h=16, w=16, seed=7)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    def run(dtype, steps=2):
+        model = PatchmatchNet(compute_dtype=dtype)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+            batch["images"], batch["intrinsics"], batch["extrinsics"],
+            batch["depth_min"], batch["depth_max"], train=True,
+        )
+        tx = make_optimizer(1e-3)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(model, tx)
+        losses = []
+        for i in range(steps):
+            state, metrics, _ = step(state, batch, jax.random.PRNGKey(50 + i))
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    f32 = run(None)
+    bf16 = run(jnp.bfloat16)
+    assert bf16[-1] < bf16[0], f"bf16 loss did not decrease: {bf16}"
+    for a, b in zip(f32, bf16):
+        assert abs(a - b) / abs(a) < 0.05, f"trajectories diverged: {f32} vs {bf16}"

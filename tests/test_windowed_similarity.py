@@ -262,3 +262,50 @@ def test_model_sampler_equivalence_bf16():
     np.testing.assert_allclose(d_win, d_gat, rtol=0, atol=2e-2)
     assert np.median(np.abs(d_win - d_gat)) < 2e-3
     np.testing.assert_allclose(c_win, c_gat, rtol=0, atol=2e-2)
+
+
+def test_windowed_proj_custom_vjp_matches_autodiff():
+    """The custom VJP of windowed_group_similarity_proj must equal autodiff
+    through the (differentiable) windowed impl: gradients flow to the quad
+    table and reference features only; depth/projections carry none
+    (reference builds the warp grid under no_grad, module.py:147)."""
+    from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+        _wgsp_impl,
+        windowed_group_similarity_proj,
+    )
+
+    rng = np.random.default_rng(3)
+    b, h, w, c, d, g = 1, 16, 48, 8, 8, 4
+    feat = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    ref = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    depth = jnp.asarray(rng.random((b, d, h, w), np.float32) * 2 + 4)
+    mat = np.zeros((b, 12), np.float32)
+    mat[:, 0] = 1.0
+    mat[:, 5] = 1.0
+    mat[:, 11] = 1.0
+    mat[:, 2] = 1.7
+    mat[:, 6] = 0.9
+    mat12 = jnp.asarray(mat)
+    gm = _group_mean(c, g)
+    cfg = make_config(h, w)
+    quad = make_quad_table_2d(feat)
+    cot = jnp.asarray(rng.standard_normal((b, g, d, h, w)), jnp.float32)
+
+    def loss_custom(q, r):
+        return jnp.sum(windowed_group_similarity_proj(q, mat12, depth, r, gm, cfg) * cot)
+
+    def loss_auto(q, r):
+        return jnp.sum(_wgsp_impl(q, mat12, depth, r, gm, cfg) * cot)
+
+    dq1, dr1 = jax.grad(loss_custom, argnums=(0, 1))(quad, ref)
+    dq2, dr2 = jax.grad(loss_auto, argnums=(0, 1))(quad, ref)
+    np.testing.assert_allclose(np.asarray(dq1), np.asarray(dq2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dr1), np.asarray(dr2), rtol=1e-5, atol=1e-5)
+
+    # depth and projection must carry no gradient through the sampler
+    d_depth = jax.grad(
+        lambda dd: jnp.sum(
+            windowed_group_similarity_proj(quad, mat12, dd, ref, gm, cfg) * cot
+        )
+    )(depth)
+    assert float(jnp.max(jnp.abs(d_depth))) == 0.0
