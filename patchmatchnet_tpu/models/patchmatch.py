@@ -380,46 +380,14 @@ class Evaluation(nn.Module):
             if hwp != hw:
                 ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
         new_view_weights: List[jnp.ndarray] = []
-        num_views = len(src_projs)
-        # Experimental: one launch for all views with in-VMEM weighted
-        # accumulation. Measured ~4 ms/map SLOWER than per-view launches at
-        # the DTU bench config (the predicated scratch accumulate appears
-        # to inhibit Mosaic's pipelining); off by default.
-        if (
-            win_cfg is not None
-            and view_weights is not None
-            and os.environ.get("PATCHMATCHNET_TPU_VIEW_FUSED", "0") == "1"
-        ):
-            # View-fused path: with precomputed view weights the whole
-            # source-view loop runs as one kernel launch (view-fastest grid)
-            # with the weighted accumulation in VMEM — the per-view
-            # [B, G, D, H, W] volumes are never written to HBM.
-            # src_features here is the STACKED quad table [B, V, Ht, Wt, 4C].
-            from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
-                windowed_group_similarity_views,
-            )
-
-            mat_v = jnp.stack(
-                [warp_proj_coeffs(sp, ref_proj) for sp in src_projs], axis=1
-            )
-            similarity_sum = similarity_sum + windowed_group_similarity_views(
-                src_features, mat_v, depth_sample, ref_feature,
-                view_weights[..., :num_views], gm, win_cfg,
-            )
-            vw_all = jnp.moveaxis(
-                view_weights[..., :num_views], -1, 1
-            )  # [B, V, H, W]
-            weight_sum = weight_sum + jnp.sum(
-                vw_all, axis=1, keepdims=True
-            )[:, :, None]
-            src_projs = []  # skip the per-view loop below
+        # NOTE: a view-fused variant (one launch for all views, weighted
+        # accumulation in VMEM scratch) was built and measured twice —
+        # 9.41 -> 9.15 MPix/s in round 2 and 103.9 -> 108.4 ms/map after
+        # the round-4 layout changes — and DELETED: the predicated scratch
+        # accumulate inhibits Mosaic's pipelining (see PROGRESS.md).
         escapes = jnp.zeros((), jnp.int32)
         for i, src_proj in enumerate(src_projs):
-            src_quad = (
-                src_features[i]
-                if isinstance(src_features, (list, tuple))
-                else src_features[:, i]  # stacked [B, V, ...] table
-            )
+            src_quad = src_features[i]
             if win_cfg is not None:
                 # windowed sampler: fused warp-sample + similarity, no taps
                 # round trip (src_quad here is the 2-D padded quad table);
@@ -821,19 +789,9 @@ class PatchMatch(nn.Module):
             sampler = "windowed"
 
         # Source tables: built once per view, reused by every warp sample
-        # across all iterations. The windowed path builds them STACKED
-        # [B, V, Ht, Wt, 4C] (the view-fused kernel consumes the stack
-        # directly; stacking per iteration would re-copy ~100 MB).
+        # across all iterations.
         if sampler == "windowed":
-            if os.environ.get("PATCHMATCHNET_TPU_VIEW_FUSED", "0") == "1":
-                nview = len(src_features)
-                fv = jnp.stack(src_features, axis=1)  # [B, V, H, W, C]
-                qv = make_quad_table_2d(
-                    fv.reshape((b * nview,) + fv.shape[2:])
-                )
-                src_quads = qv.reshape((b, nview) + qv.shape[1:])
-            else:
-                src_quads = [make_quad_table_2d(f) for f in src_features]
+            src_quads = [make_quad_table_2d(f) for f in src_features]
         else:
             src_quads = [make_quad_image(f, "zeros") for f in src_features]
 

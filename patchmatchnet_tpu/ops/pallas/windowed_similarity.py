@@ -582,229 +582,10 @@ def _jnp_windowed(quad2d, ix, iy, ref_feature, gm, cfg: WindowConfig,
     )
 
 
-def _kernel_views(cfg, c: int, g: int, nv: int,
-                  oy_ref, ox_ref, r0_ref, mat_ref, dep_ref, ref_ref, vw_ref,
-                  win_ref, gm_ref, out_ref, acc_ref):
-    """View-fused variant of `_kernel_proj`: the source-view loop runs as
-    the FASTEST grid dimension with the view-weighted similarity sum
-    accumulated in VMEM scratch; the output volume is written once per tile
-    instead of once per view (the depth and reference blocks ignore the
-    view index and stay resident). Requires precomputed view weights —
-    every evaluation call except stage 3's first iteration has them
-    (reference: patchmatch.py:205-217 weighted accumulation)."""
-    c4 = 4 * c
-    k = cfg.hband * cfg.wwin
-    bb = pl.program_id(0)
-    ty_i = pl.program_id(1)
-    tx_i = pl.program_id(2)
-    v_i = pl.program_id(3)
-    t = ((bb * nv + v_i) * pl.num_programs(1) + ty_i) * pl.num_programs(2) + tx_i
-    oy = oy_ref[t]
-    ox = ox_ref[t]
-    j_lin = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    gm = gm_ref[:]  # [C, G] f32
-
-    d = dep_ref.shape[-1] // cfg.tw
-    dc = _d_chunk(d, cfg.tw)
-    sc = dc * cfg.tw
-    u = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1) % cfg.tw
-        + tx_i * cfg.tw
-    ).astype(jnp.float32)[0]
-    mbase = (bb * nv + v_i) * 12
-    m = [mat_ref[mbase + i] for i in range(12)]
-    wf = jnp.float32(cfg.img_w)
-    hf = jnp.float32(cfg.img_h)
-    for rr in range(cfg.th):
-        r0 = r0_ref[t * cfg.th + rr]
-        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0, 0))
-        vw_row = vw_ref[0, 0, 0, 0, rr][None, :]  # [1, TW] f32
-        vw_rep = pltpu.repeat(vw_row, dc, axis=1)  # [1, SC]
-        for ch in range(d // dc):
-            sl = slice(ch * sc, (ch + 1) * sc)
-            dep = dep_ref[0, 0, 0, 0, rr, sl]  # [SC] f32
-            vv = jnp.float32(ty_i * cfg.th + rr)
-            rx = m[0] * u + (m[1] * vv + m[2])
-            ry = m[4] * u + (m[5] * vv + m[6])
-            rz = m[8] * u + (m[9] * vv + m[10])
-            px = rx * dep + m[3]
-            py = ry * dep + m[7]
-            pz = rz * dep + m[11]
-            neg = pz <= 1e-3
-            ix = jnp.where(neg, wf, px / pz)
-            iy = jnp.where(neg, hf, py / pz)
-            w00, w01, w10, w11 = _bilinear_weights(ix, iy, cfg.img_h, cfg.img_w)
-            x0f = jnp.floor(ix)
-            y0f = jnp.floor(iy)
-            qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
-            qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
-            ryy = qy - r0
-            li = _band_index(qx, ryy, cfg.hband, cfg.wwin, c4)
-            h = (j_lin == li[None, :]).astype(jnp.bfloat16)
-            taps = _band_matmul(band_flat, h)  # [C4, SC]
-            warped = (taps[0 * c:1 * c] * w00[None, :]
-                      + taps[1 * c:2 * c] * w01[None, :]
-                      + taps[2 * c:3 * c] * w10[None, :]
-                      + taps[3 * c:4 * c] * w11[None, :])  # [C, SC]
-            ref_rep = pltpu.repeat(ref_ref[0, 0, 0, rr].astype(jnp.float32), dc, axis=1)
-            prod = warped * ref_rep
-            sim = jax.lax.dot_general(
-                gm, prod, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, SC]
-            wsim = sim * vw_rep
-
-            @pl.when(v_i == 0)
-            def _():
-                acc_ref[:, rr, sl] = wsim
-
-            @pl.when(v_i > 0)
-            def _():
-                acc_ref[:, rr, sl] = acc_ref[:, rr, sl] + wsim
-
-    @pl.when(v_i == nv - 1)
-    def _():
-        out_ref[0, :, 0, 0] = acc_ref[:]
 
 
-def _pallas_windowed_views(quad_v, mat_v, depth_p, coords, ref_feature,
-                           vw_t, gm, cfg: WindowConfig, img_h, img_w):
-    b, d, h, w = depth_p.shape  # padded dims
-    _, nv, table_h, table_w, c4 = quad_v.shape
-    c = c4 // 4
-    pf = _col_pack(c4)
-    g = gm.shape[1]
-    s = d * cfg.tw
-
-    oys, oxs, r0s = [], [], []
-    for v in range(nv):
-        oy, ox, r0 = _origins(
-            coords[v][0], coords[v][1], cfg, img_h, img_w, table_h, table_w
-        )
-        oys.append(oy.reshape(b, -1))
-        oxs.append(ox.reshape(b, -1))
-        r0s.append(r0.reshape(b, -1))
-    oy = jnp.stack(oys, axis=1).reshape(-1)  # [B*V*TY*TX]
-    ox = jnp.stack(oxs, axis=1).reshape(-1)
-    r0 = jnp.stack(r0s, axis=1).reshape(-1)  # [B*V*TY*TX*TH]
-
-    dep_t = _tile_coords(depth_p, cfg)[:, None]  # [B, 1, TY, TX, th, s]
-    ref_t = ref_feature.reshape(b, cfg.ty, cfg.th, cfg.tx, cfg.tw, c)
-    ref_t = jnp.transpose(ref_t, (0, 1, 3, 2, 5, 4))
-
-    class _Cfg(NamedTuple):
-        th: int
-        tw: int
-        ty: int
-        tx: int
-        wwin: int
-        hband: int
-        hp: int
-        wp: int
-        hwin: int
-        img_h: int
-        img_w: int
-
-    kcfg = _Cfg(*cfg, img_h, img_w)
-
-    E = pallas_core.Element
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b, cfg.ty, cfg.tx, nv),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, cfg.th, s),
-                         lambda bb, ty, tx, v, *_: (bb, 0, ty, tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, cfg.th, c, cfg.tw),
-                         lambda bb, ty, tx, v, *_: (bb, ty, tx, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1, cfg.th, cfg.tw),
-                         lambda bb, ty, tx, v, *_: (bb, v, ty, tx, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (E(1), E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
-                lambda bb, ty, tx, v, oy_s, ox_s, r0_s, mat_s: (
-                    bb,
-                    v,
-                    pl.multiple_of(
-                        oy_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx], 8
-                    ),
-                    pl.multiple_of(
-                        ox_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx] // pf,
-                        16 // pf,
-                    ),
-                    0,
-                ),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((c, g), lambda *_: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, g, 1, 1, cfg.th, s),
-                               lambda bb, ty, tx, v, *_: (bb, 0, ty, tx, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((g, cfg.th, s), jnp.float32)],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel_views, kcfg, c, g, nv),
-        out_shape=jax.ShapeDtypeStruct((b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32),
-        grid_spec=grid_spec,
-    )(oy, ox, r0, mat_v.reshape(-1), dep_t, ref_t, vw_t,
-      quad_v.reshape(b, nv, table_h, table_w // pf, pf * c4), gm)
-    out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
-    out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
-    return out.reshape(b, g, d, h, w)
 
 
-def windowed_group_similarity_views(quad_v, mat_v, depth, ref_feature,
-                                    view_weights, gm, cfg: WindowConfig):
-    """View-fused warp + similarity + weighted view accumulation.
-
-    Args:
-        quad_v: [B, V, Ht, Wt, 4C] stacked per-view quad tables.
-        mat_v: [B, V, 12] f32 per-view projection scalars.
-        depth: [B, D, H, W] f32 depth hypotheses (shared across views).
-        ref_feature: [B, H, W, C] reference features.
-        view_weights: [B, H, W, V] f32 pixel-wise view weights.
-        gm: [C, G] f32 group-mean matrix.
-    Returns:
-        [B, G, D, H, W] f32 = sum_v vw_v * similarity_v (unnormalized).
-    """
-    b, _, img_h, img_w = depth.shape
-    nv = quad_v.shape[1]
-    depth_p, _, ref_feature = _pad_spatial(depth, depth, ref_feature, cfg)
-    vw = jnp.moveaxis(view_weights, -1, 1).astype(jnp.float32)  # [B, V, H, W]
-    if (cfg.hp, cfg.wp) != (img_h, img_w):
-        vw = jnp.pad(
-            vw,
-            ((0, 0), (0, 0), (0, cfg.hp - img_h), (0, cfg.wp - img_w)),
-        )
-    coords = [
-        _coords_from_depth(mat_v[:, v], depth_p, img_h, img_w)
-        for v in range(nv)
-    ]  # per-view (ix, iy); consumed only by origin reductions / jnp path
-
-    if (
-        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
-        or not on_tpu()
-        or (depth.shape[1] * cfg.tw) % 128 != 0
-    ):
-        acc = None
-        for v in range(nv):
-            sim = _jnp_windowed(
-                quad_v[:, v], coords[v][0], coords[v][1], ref_feature, gm,
-                cfg, img_h, img_w,
-            )
-            wv = vw[:, v][:, None, None]  # [B, 1, 1, HP, WP]
-            acc = sim * wv if acc is None else acc + sim * wv
-        out = acc
-    else:
-        vw_t = vw.reshape(b, nv, cfg.ty, cfg.th, cfg.tx, cfg.tw)
-        vw_t = jnp.transpose(vw_t, (0, 1, 2, 4, 3, 5))  # [B,V,TY,TX,th,tw]
-        out = _pallas_windowed_views(
-            quad_v, mat_v, depth_p, coords, ref_feature, vw_t, gm, cfg,
-            img_h, img_w,
-        )
-    return out[:, :, :, :img_h, :img_w]
 
 
 def _coords_from_depth(mat12: jnp.ndarray, depth: jnp.ndarray,
