@@ -77,36 +77,82 @@ class DepthEstimator:
                 init_noise=noise,
                 mutable=["diagnostics"],
             )
-            # total windowed-sampler escapes this forward (0 when the
-            # windowed path is exact or not in use — see patchmatch.py)
-            escapes = sum(
-                jax.tree.leaves(diag.get("diagnostics", {})),
-                jnp.zeros((), jnp.int32),
+            # per-stage windowed-sampler escapes this forward, [stage1..3]
+            # (all zero when the windowed path is exact or not in use —
+            # see patchmatch.py). Per-stage resolution lets the fallback
+            # demote ONLY the escaping stage to the gather sampler.
+            d = diag.get("diagnostics", {})
+            escapes = jnp.stack(
+                [
+                    sum(
+                        jax.tree.leaves(d.get(f"patchmatch_{s}", {})),
+                        jnp.zeros((), jnp.int32),
+                    )
+                    for s in (1, 2, 3)
+                ]
             )
             return depth, confidence, escapes
 
         self._forward_fn = forward
         self._forward = jax.jit(forward)
-        self._forward_gather = None  # lazily traced exact-sampler fallback
-        self.escape_fallbacks = 0  # batches re-run on the gather sampler
+        # per-stage fallback state: stage-set key -> jitted program, and a
+        # sticky per-(padded H, W) choice so a geometry that escapes once
+        # runs the demoted program DIRECTLY on subsequent batches (one run,
+        # not run + re-run). Measured need: ETH3D portrait orientation
+        # escapes ~2.6M stage-3 samples on EVERY batch (PROGRESS.md round 4).
+        self._forwards: Dict[str, Any] = {}
+        self._stage_override: Dict[Any, str] = {}
+        self.escape_fallbacks = 0  # batches re-run on a demoted sampler set
 
-    def _gather_fallback(self, args):
-        """Re-run a batch on the exact gather sampler. The sampler choice is
-        read from the environment at TRACE time, and jax.jit traces once per
-        input shape — so the override must wrap every call (a new shape
-        arriving later would otherwise trace without it and silently pick
-        the windowed sampler again)."""
-        if self._forward_gather is None:
-            self._forward_gather = jax.jit(self._forward_fn)
-        prev = os.environ.get("PATCHMATCHNET_TPU_SAMPLER")
-        os.environ["PATCHMATCHNET_TPU_SAMPLER"] = "gather"
+    def _run(self, stages_key: Optional[str], args):
+        """Run the forward with the windowed sampler restricted to
+        `stages_key` (comma-joined stage ids; "" = pure gather; None = the
+        ambient environment default). The sampler choice is read from the
+        environment at TRACE time, and jax.jit traces once per input shape —
+        so the override must wrap every call (a new shape arriving later
+        would otherwise trace without it and silently pick the windowed
+        sampler again)."""
+        if stages_key is None:
+            return self._forward(*args)
+        fn = self._forwards.get(stages_key)
+        if fn is None:
+            # A fresh closure per stage set is REQUIRED, not style:
+            # jax.jit's trace cache is keyed on the wrapped function
+            # object, so jax.jit(self._forward_fn) would silently REUSE
+            # the default program's trace (and its trace-time sampler
+            # choice) instead of re-reading the environment. Verified
+            # empirically — see test_per_stage_demotion_is_sticky.
+            inner = self._forward_fn
+
+            def run(*a, _inner=inner):
+                return _inner(*a)
+
+            fn = self._forwards[stages_key] = jax.jit(run)
+        prev_s = os.environ.get("PATCHMATCHNET_TPU_SAMPLER")
+        prev_w = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES")
+        if stages_key:
+            os.environ["PATCHMATCHNET_TPU_WINDOWED_STAGES"] = stages_key
+        else:
+            os.environ["PATCHMATCHNET_TPU_SAMPLER"] = "gather"
         try:
-            return self._forward_gather(*args)
+            return fn(*args)
         finally:
-            if prev is None:
-                del os.environ["PATCHMATCHNET_TPU_SAMPLER"]
-            else:
-                os.environ["PATCHMATCHNET_TPU_SAMPLER"] = prev
+            for k, prev in (
+                ("PATCHMATCHNET_TPU_SAMPLER", prev_s),
+                ("PATCHMATCHNET_TPU_WINDOWED_STAGES", prev_w),
+            ):
+                if prev is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = prev
+
+    def _active_stages(self, stages_key: Optional[str]) -> frozenset:
+        """Stage ids the windowed sampler is currently allowed on."""
+        if stages_key is None:
+            if os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed") != "windowed":
+                return frozenset()
+            stages_key = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3")
+        return frozenset(s for s in stages_key.split(",") if s)
 
     def __call__(self, batch: Dict[str, Any], rng: jax.Array):
         """batch: adjusted sample batch (see data.adjust_sample_dims).
@@ -142,21 +188,47 @@ class DepthEstimator:
             from patchmatchnet_tpu.parallel import shard_batch
 
             args = shard_batch(args, self.mesh)
-        depth, confidence, escapes = self._forward(*args)
-        if int(escapes) > 0:
-            # The windowed sampler's locality bound was exceeded for this
-            # geometry (it would have zeroed `escapes` samples). Re-run the
-            # batch on the exact gather sampler — correctness over speed.
+        shape_key = (h, w)
+        stages_key = self._stage_override.get(shape_key)
+        depth, confidence, escapes = self._run(stages_key, args)
+        esc = np.asarray(escapes)
+        while esc.sum() > 0:
+            # The windowed sampler's locality bound was exceeded at the
+            # escaping stage(s) (it would have zeroed `escapes` samples).
+            # Demote ONLY those stages to the exact gather sampler and
+            # re-run — correctness over speed — then remember the demotion
+            # for this shape so later batches run the mixed program
+            # directly. Stages that stay windowed remain guarded: if they
+            # escape on a later batch the loop demotes them too, bottoming
+            # out at pure gather (which cannot escape).
             import warnings
 
+            active = self._active_stages(stages_key)
+            escaped = {str(s + 1) for s in range(3) if esc[s] > 0}
+            reduced = active - escaped
+            if reduced == active:
+                # escapes reported by a stage that is not windowed here —
+                # demotion cannot help; keep the result (escaped samples
+                # contribute zero) rather than loop forever
+                warnings.warn(
+                    f"escape counter fired ({int(esc.sum())}) outside the "
+                    f"active windowed stage set {sorted(active)}; keeping "
+                    "the current result"
+                )
+                break
+            stages_key = ",".join(sorted(reduced))
             warnings.warn(
-                f"windowed sampler escaped {int(escapes)} samples on this "
-                "batch; re-running with the exact gather sampler "
-                "(consider PATCHMATCHNET_TPU_HBAND/_TW tuning for this "
-                "dataset geometry)"
+                f"windowed sampler escaped {int(esc.sum())} samples at "
+                f"stage(s) {sorted(escaped)}; re-running with the windowed "
+                f"sampler restricted to stage(s) "
+                f"{sorted(reduced) or ['none — pure gather']} (sticky for "
+                f"shape {shape_key}; consider PATCHMATCHNET_TPU_HBAND/_TW "
+                "tuning for this dataset geometry)"
             )
             self.escape_fallbacks += 1
-            depth, confidence, _ = self._gather_fallback(args)
+            self._stage_override[shape_key] = stages_key
+            depth, confidence, escapes = self._run(stages_key, args)
+            esc = np.asarray(escapes)
         depth = np.asarray(depth)
         confidence = np.asarray(confidence)
         if crop_hw is not None:
@@ -203,9 +275,12 @@ class ModuleEstimator(DepthEstimator):
                 images, intrinsics, extrinsics, depth_min, depth_max, noise
             )
             # exported artifacts predate the escape diagnostic: no fallback
-            return (*out, jnp.zeros((), jnp.int32))
+            return (*out, jnp.zeros((3,), jnp.int32))
 
         self._forward = forward
+        self._forwards = {}
+        self._stage_override = {}
+        self.escape_fallbacks = 0
 
 
 def save_depth_maps(

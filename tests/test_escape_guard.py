@@ -72,6 +72,56 @@ def test_adversarial_geometry_escapes(name, full_h, full_w):
     assert esc > 0, f"{name}: expected escapes at this geometry, got 0"
 
 
+def test_per_stage_demotion_is_sticky():
+    """Fallback controller semantics (no model compile): when ONLY stage 3
+    escapes, the estimator demotes stage 3 to gather, keeps stages 1-2
+    windowed, and remembers the demotion per shape — the next batch at that
+    shape runs the mixed program directly (one run, not run + re-run).
+    Measured need: ETH3D portrait geometry escapes ~2.6M stage-3 samples on
+    every batch (PROGRESS.md round 4)."""
+    from patchmatchnet_tpu.infer import DepthEstimator
+
+    est = DepthEstimator.__new__(DepthEstimator)  # controller only
+    est.bucket_multiple = 0
+    est.mesh = None
+    est._forwards = {}
+    est._stage_override = {}
+    est.escape_fallbacks = 0
+
+    traces = []  # (sampler, stages) seen at TRACE time by each program
+
+    def fwd(images, intr, extr, dmin, dmax, noise):
+        sampler = os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed")
+        stages = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3")
+        traces.append((sampler, stages))
+        b, _, h, w = images.shape[:4]
+        esc = jnp.zeros((3,), jnp.int32)
+        if sampler == "windowed" and "3" in stages.split(","):
+            esc = esc.at[2].set(7)  # stage 3 escapes; 1-2 never do
+        return jnp.zeros((b, h, w)), jnp.zeros((b, h, w)), esc
+
+    est._forward_fn = fwd
+    est._forward = jax.jit(fwd)
+
+    b, n, h, w = 1, 2, 16, 32
+    batch = {
+        "images": np.zeros((b, n, h, w, 3), np.float32),
+        "intrinsics": np.zeros((b, n, 3, 3), np.float32),
+        "extrinsics": np.zeros((b, n, 4, 4), np.float32),
+        "depth_min": np.asarray([1.0], np.float32),
+        "depth_max": np.asarray([2.0], np.float32),
+    }
+    with pytest.warns(UserWarning, match=r"stage\(s\) \['3'\]"):
+        est(batch, jax.random.PRNGKey(0))
+    assert est.escape_fallbacks == 1
+    assert est._stage_override == {(h, w): "1,2"}
+
+    # second batch at the same shape: mixed program runs directly, cached
+    est(batch, jax.random.PRNGKey(1))
+    assert est.escape_fallbacks == 1
+    assert traces == [("windowed", "1,2,3"), ("windowed", "1,2")]
+
+
 @pytest.mark.slow
 def test_escape_guard_gather_fallback():
     """End-to-end guard mechanism: escapes detected at run time ->
