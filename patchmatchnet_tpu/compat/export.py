@@ -33,6 +33,21 @@ def export_inference(
     from patchmatchnet_tpu.models import PatchmatchNet
 
     model = model or PatchmatchNet()
+    # Exported artifacts are frozen programs: the runtime escape guard
+    # (infer.DepthEstimator's per-stage sticky gather fallback) cannot run
+    # around them, so a reduced-precision export would bake in the windowed
+    # sampler with NO fallback — escaping geometries would silently zero
+    # similarity terms. Only the f32 configuration (which always selects
+    # the exact gather sampler, models/patchmatch.py:775-789) is exportable.
+    dt = getattr(model, "compute_dtype", None)
+    if dt is not None and jnp.dtype(dt).itemsize < 4:
+        raise ValueError(
+            "export_inference only supports full-precision (f32) models: "
+            "reduced-precision models select the windowed sampler, whose "
+            "runtime escape guard/fallback lives in infer.DepthEstimator "
+            "and cannot be carried inside a frozen StableHLO artifact. "
+            "Export with compute_dtype=None (the default) instead."
+        )
 
     def fn(images, intrinsics, extrinsics, depth_min, depth_max, noise):
         depth, confidence, _ = model.apply(

@@ -13,6 +13,17 @@ import os
 CKPT = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "params_000007.msgpack")
 
 
+def test_export_refuses_reduced_precision_model():
+    """A bf16 model selects the windowed sampler, whose escape guard lives
+    in the runtime estimator — a frozen artifact cannot carry it, so the
+    export must refuse rather than bake in a silent-zero path."""
+    variables = load_variables(CKPT)
+    with pytest.raises(ValueError, match="full-precision"):
+        export_inference(
+            variables, 1, 2, 32, 40, model=PatchmatchNet(compute_dtype=jnp.bfloat16)
+        )
+
+
 @pytest.mark.slow
 def test_export_roundtrip():
     variables = load_variables(CKPT)
