@@ -40,6 +40,20 @@ from patchmatchnet_tpu.ops.warp import warp_proj_coeffs, warp_taps
 INITIAL_NUM_SAMPLES = 48  # stratified random inverse-depth samples on stage 3
 
 
+def _stage_window_override(stage: int) -> Optional[Tuple[int, int]]:
+    """Derived windowed-sampler geometry for `stage`, read at TRACE time.
+
+    PATCHMATCHNET_TPU_WIN_S{stage} = "tw,hband" — set around a jit trace by
+    infer.DepthEstimator / bench.py from the per-scene derivation
+    (ops/pallas/window_bounds.derive_stage_windows). Unset = the
+    env/HBAND_DEFAULT envelope inside make_config."""
+    spec = os.environ.get(f"PATCHMATCHNET_TPU_WIN_S{stage}")
+    if not spec:
+        return None
+    tw, hband = (int(v) for v in spec.split(","))
+    return tw, hband
+
+
 def _group_mean_matrix(channels: int, groups: int, dtype=jnp.float32) -> jnp.ndarray:
     """[C, G] block-diagonal averaging matrix: group-wise mean as one MXU
     matmul instead of a [..., G, C/G] reshape (which XLA repacks physically
@@ -339,6 +353,7 @@ class Evaluation(nn.Module):
         is_inverse: bool,
         train: bool = False,
         sampler: str = "gather",
+        window: Optional[Tuple[int, int]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Adaptive evaluation over precomputed source quad tables.
 
@@ -370,7 +385,19 @@ class Evaluation(nn.Module):
         # arithmetic (bilinear, ref product, group mean) in f32.
         gm = _group_mean_matrix(c, g, jnp.float32)
         hw = h * w
-        win_cfg = make_window_config(h, w) if sampler == "windowed" else None
+        # `window` is the per-stage derived (tile width, band height) from
+        # ops/pallas/window_bounds.derive_stage_windows (threaded down by
+        # PatchMatch); None falls back to the env/default envelope.
+        win_cfg = (
+            make_window_config(
+                h,
+                w,
+                hband=window[1] if window else None,
+                tw=window[0] if window else None,
+            )
+            if sampler == "windowed"
+            else None
+        )
         if win_cfg is None:
             from patchmatchnet_tpu.ops.pallas.similarity_kernel import SLICE_PAD
 
@@ -380,14 +407,63 @@ class Evaluation(nn.Module):
             if hwp != hw:
                 ref_flat = jnp.pad(ref_flat, ((0, 0), (0, hwp - hw), (0, 0)))
         new_view_weights: List[jnp.ndarray] = []
-        # NOTE: a view-fused variant (one launch for all views, weighted
-        # accumulation in VMEM scratch) was built and measured twice —
-        # 9.41 -> 9.15 MPix/s in round 2 and 103.9 -> 108.4 ms/map after
-        # the round-4 layout changes — and DELETED: the predicated scratch
-        # accumulate inhibits Mosaic's pipelining (see PROGRESS.md).
         escapes = jnp.zeros((), jnp.int32)
+
+        # Views-fused windowed path: when the per-view visibility weights
+        # are already known (every call after the stage-3 first iteration),
+        # ONE kernel accumulates the view-weighted similarity across all
+        # source views into a revisited output block — the per-view
+        # [B, G, D, H, W] f32 volumes and their XLA weighted-sum pass never
+        # exist. MEASURED A LOSER at the bench geometry (round 5, same
+        # session: s2d-only 100.2 ms/map vs s2d+fused 103.5; baseline
+        # 105.1): the revisited output block costs a read+write per view,
+        # so the "saved" per-view volumes mostly return as revisit
+        # traffic, and the escape diagnostic loses its CSE with the
+        # kernel's own origin math (4 extra coordinate+reduce passes).
+        # Same family of result as the round-2 scratch-accumulate variant
+        # (deleted, PROGRESS.md). Kept behind an env flag for re-testing
+        # if the output-revisit cost model changes; default OFF.
+        fuse_views = (
+            win_cfg is not None
+            and view_weights is not None
+            and not train
+            and os.environ.get("PATCHMATCHNET_TPU_FUSED_VIEWS", "0") == "1"
+        )
+        if fuse_views:
+            from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+                _coords_from_depth,
+                escape_count,
+                windowed_group_similarity_proj_views,
+            )
+
+            quads = src_features  # [B, V, Ht, Wt, 4C] stacked tables
+            nv = quads.shape[1]
+            mats = jnp.stack(
+                [warp_proj_coeffs(sp, ref_proj) for sp in src_projs], axis=1
+            )  # [B, V, 12]
+            vw = jnp.transpose(view_weights, (0, 3, 1, 2))  # [B, V, H, W]
+            similarity_sum = windowed_group_similarity_proj_views(
+                quads, mats, depth_sample, ref_feature, gm,
+                vw.astype(jnp.float32), win_cfg,
+            )
+            weight_sum = weight_sum + jnp.sum(
+                vw.astype(jnp.float32), axis=1
+            )[:, None, None]  # [B, 1, 1, H, W]
+            dsg = jax.lax.stop_gradient(depth_sample)
+            for i in range(nv):
+                eix, eiy = _coords_from_depth(mats[:, i], dsg, h, w)
+                escapes = escapes + escape_count(
+                    eix, eiy, win_cfg, h, w,
+                    quads.shape[2], quads.shape[3],
+                ).astype(jnp.int32)
+            src_projs = []  # skip the per-view loop below
         for i, src_proj in enumerate(src_projs):
-            src_quad = src_features[i]
+            # windowed: src_features is the [B, V, Ht, Wt, 4C] stacked quad
+            # tables (shared with the views-fused path); gather: a list of
+            # per-view QuadImage tables
+            src_quad = (
+                src_features[:, i] if win_cfg is not None else src_features[i]
+            )
             if win_cfg is not None:
                 # windowed sampler: fused warp-sample + similarity, no taps
                 # round trip (src_quad here is the 2-D padded quad table);
@@ -778,20 +854,38 @@ class PatchMatch(nn.Module):
             os.environ.get("PATCHMATCHNET_TPU_TRAIN_SAMPLER", "windowed")
             == "windowed"
         )
+        # Per-stage derived (tile width, band height) — set at trace time by
+        # infer.DepthEstimator / bench from window_bounds.derive_stage_windows
+        # (the band requirement is the epipolar tilt across the tile, computed
+        # from the scene projections; None = env/default envelope).
+        window = _stage_window_override(self.stage)
         if (
             (not train or train_windowed)
             and self.dtype is not None
             and jnp.dtype(self.dtype).itemsize < 4
             and os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed") == "windowed"
             and str(self.stage) in win_stages.split(",")
-            and make_window_config(h, w) is not None
+            and make_window_config(
+                h,
+                w,
+                hband=window[1] if window else None,
+                tw=window[0] if window else None,
+            )
+            is not None
         ):
             sampler = "windowed"
 
         # Source tables: built once per view, reused by every warp sample
         # across all iterations.
         if sampler == "windowed":
-            src_quads = [make_quad_table_2d(f) for f in src_features]
+            # one STACKED table [B, V, Ht, Wt, 4C]: per-view slices feed the
+            # per-view kernel; the views-fused kernel takes it whole
+            stacked = jnp.stack(src_features, axis=1)
+            nv = stacked.shape[1]
+            src_quads = make_quad_table_2d(
+                stacked.reshape(b * nv, h, w, stacked.shape[-1])
+            )
+            src_quads = src_quads.reshape(b, nv, *src_quads.shape[1:])
         else:
             src_quads = [make_quad_image(f, "zeros") for f in src_features]
 
@@ -852,6 +946,7 @@ class PatchMatch(nn.Module):
                 is_inverse,
                 train,
                 sampler,
+                window,
             )
             depths.append(depth)
 

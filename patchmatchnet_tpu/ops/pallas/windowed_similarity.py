@@ -52,16 +52,27 @@ from jax._src.pallas import core as pallas_core  # Element block dims
 
 HWIN_MAX = 48   # table row padding covers any th <= 32 (hwin = th + 16)
 TH_DEFAULT = 8  # ref rows per tile; higher cuts grid steps, grows windows
-HBAND_DEFAULT = 7   # band rows per (ref row, all d); env-overridable.
-                    # = measured max row span at tw=48 (5, see TW_DEFAULT)
-                    # + 1 covered row + 1 ULP-slack row: r0 is biased one
-                    # row below the mirror-computed minimum (see _origins)
-                    # so a 1-ULP floor flip between the in-kernel coordinate
-                    # math and the XLA mirror cannot land a sample at
-                    # ry = -1 (zeroing it silently on TPU only).
+HBAND_DEFAULT = 7   # band rows per (ref row, all d); env-overridable
+                    # ENVELOPE for callers that bypass the derivation.
+                    # The band a geometry actually needs is DERIVED, not
+                    # guessed: iy(d) = (ry*d + m7)/(rz*d + m11) is a Mobius
+                    # function of depth, so each pixel's source-row interval
+                    # over the whole clamped hypothesis range [dmin, dmax]
+                    # is attained at the range endpoints (pole crossings
+                    # exit through a computable image edge); the band
+                    # requirement is that interval's span UNIONED ACROSS A
+                    # TILE — i.e. the epipolar tilt across tw columns and
+                    # th rows — plus the 1-row r0 bias and 1 host-vs-device
+                    # f32 rounding slack row. ops/pallas/window_bounds.py
+                    # computes exactly this per scene (the production
+                    # DepthEstimator derives per shape; this constant = the
+                    # derivation's answer at the DTU bench geometry at
+                    # tw=48: span 5 + covered row + ULP slack).
 TW_DEFAULT = 48     # preferred tile width; narrower tiles keep the epipolar
-                    # tilt across a ref-row slab within the band (measured:
-                    # max span 5 at tw=48 vs 9 at tw=96 on the bench views)
+                    # tilt across a ref-row slab within the band (derived:
+                    # band 7 at tw=48 vs None/overflow at tw=112 on the
+                    # ETH3D portrait class; chosen jointly with hband by
+                    # window_bounds.derive_stage_windows)
 X_MARGIN = 16   # window cols beyond TW: bbox margin + 16-col origin quantization
 SC_MAX = 2304   # max lanes per in-kernel d-chunk (bounds the one-hot VMEM)
 
@@ -98,8 +109,21 @@ def choose_tile_width(width: int) -> int | None:
     return tw_min
 
 
-def make_config(height: int, width: int) -> WindowConfig | None:
-    tw = choose_tile_width(width)
+def make_config(
+    height: int,
+    width: int,
+    hband: int | None = None,
+    tw: int | None = None,
+) -> WindowConfig | None:
+    """Window geometry for a stage shape. `hband`/`tw` override the band
+    height / tile width (derived per scene by
+    ops/pallas/window_bounds.derive_stage_windows — the band requirement is
+    a function of the epipolar tilt ACROSS the tile, so they are chosen
+    jointly; the env var / HBAND_DEFAULT envelope applies when None)."""
+    if tw is None:
+        tw = choose_tile_width(width)
+    elif tw % 16 != 0 or tw < 16:
+        raise ValueError(f"tile width must be a positive multiple of 16: {tw}")
     if tw is None or height < 8:
         return None
     th = int(os.environ.get("PATCHMATCHNET_TPU_TH", TH_DEFAULT))
@@ -115,7 +139,8 @@ def make_config(height: int, width: int) -> WindowConfig | None:
     # window cols: tile extent + bbox margin + 16-col origin quantization,
     # clamped to the (16-aligned) table width when the table is narrower
     wwin = min(tw + X_MARGIN * 2, -(-(width + 1) // 16) * 16)
-    hband = int(os.environ.get("PATCHMATCHNET_TPU_HBAND", HBAND_DEFAULT))
+    if hband is None:
+        hband = int(os.environ.get("PATCHMATCHNET_TPU_HBAND", HBAND_DEFAULT))
     hwin = th + 16
     if not 1 <= hband <= hwin:
         # hband > hwin would make the r0 clip bound negative (out-of-bounds
@@ -189,14 +214,18 @@ def _band_matmul(band, h):
 
 def _band_index(qx, ry, hband: int, wwin: int, c4: int):
     """Linearized one-hot index matching `_load_band`'s row order; -1 for
-    out-of-window samples. pf=1: (band_row, col), out-of-band rows fall
-    outside [0, K) on their own. pf=2: (parity, band_row, col/2) — the
-    parity fold can alias the other parity block when ry leaves
-    [0, hband), so ry is guarded explicitly (unsigned compare)."""
+    out-of-window samples. Both branches guard ry with an unsigned compare:
+    on pf=1 an above-band ry would give li >= K, which the forward one-hot
+    matches nothing against (correct, zero) but which a `li >= 0` backward
+    cotangent mask would MISS — escapes must map to exactly -1 so forward
+    and backward agree on "contributed nothing". On pf=2 the parity fold
+    can additionally alias the other parity block when ry leaves
+    [0, hband)."""
     pf = _col_pack(c4)
     if pf == 1:
         li = ry * wwin + qx
-        return jnp.where((qx >= 0) & (qx < wwin), li, -1)
+        ok = (qx >= 0) & (qx < wwin) & (ry.astype(jnp.uint32) < hband)
+        return jnp.where(ok, li, -1)
     half = hband * (wwin // 2)
     li = (qx & 1) * half + ry * (wwin // 2) + (qx >> 1)
     ok = (qx >= 0) & (qx < wwin) & (ry.astype(jnp.uint32) < hband)
@@ -910,6 +939,236 @@ def _pallas_windowed_proj_bwd(quad2d, mat12, depth_p, ix, iy, ref_feature,
     return dtaps, dref
 
 
+def _kernel_proj_views(cfg, c: int, g: int, nv: int,
+                       oy_ref, ox_ref, r0_ref, mat_ref, dep_ref, ref_ref,
+                       vw_ref, win_ref, gm_ref, out_ref):
+    """`_kernel_proj` fused over the source-view axis: grid (B, TY, TX, V)
+    with the VIEW dim innermost, accumulating the view-weighted similarity
+    into a REVISITED output block (index map constant in v) —
+
+        out[g, d, px] = sum_v vw[v, px] * sim_v[g, d, px]
+
+    The per-view [B, G, D, H, W] f32 volumes and their XLA weighted-sum
+    pass (4x write + 5x read of up to 64 MB per eval call at the bench
+    stage-1 geometry) never exist. No scratch, no predicated accumulate —
+    the failure mode of the deleted round-2 view-fused kernel (PROGRESS.md)
+    — just the standard output-revisiting reduction with @pl.when(v == 0)
+    initialization; the depth/ref/gm blocks are constant across v so Mosaic
+    keeps them resident. Inference-only: PixelwiseNet needs per-view
+    volumes on the first stage-3 iteration, which keeps the per-view
+    kernel; training keeps the per-view custom-VJP path.
+    """
+    c4 = 4 * c
+    k = cfg.hband * cfg.wwin
+    bb = pl.program_id(0)
+    ty_i = pl.program_id(1)
+    tx_i = pl.program_id(2)
+    v = pl.program_id(3)
+    t = ((bb * nv + v) * pl.num_programs(1) + ty_i) * pl.num_programs(2) + tx_i
+    oy = oy_ref[t]
+    ox = ox_ref[t]
+    j_lin = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    gm = gm_ref[:]  # [C, G] f32
+
+    d = dep_ref.shape[-1] // cfg.tw
+    dc = _d_chunk(d, cfg.tw)
+    sc = dc * cfg.tw
+    u = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, sc), 1) % cfg.tw
+        + tx_i * cfg.tw
+    ).astype(jnp.float32)[0]
+    m = [mat_ref[(bb * nv + v) * 12 + i] for i in range(12)]
+    wf = jnp.float32(cfg.img_w)
+    hf = jnp.float32(cfg.img_h)
+    first = v == 0
+    for rr in range(cfg.th):
+        r0 = r0_ref[t * cfg.th + rr]
+        band_flat = _load_band(win_ref, r0, cfg.hband, cfg.wwin, c4, (0, 0))
+        vw_rep = pltpu.repeat(
+            vw_ref[0, 0, 0, 0, rr][None, :].astype(jnp.float32), dc, axis=1
+        )  # [1, SC]
+        for ch in range(d // dc):
+            sl = slice(ch * sc, (ch + 1) * sc)
+            dep = dep_ref[0, 0, 0, 0, rr, sl]  # [SC] f32
+            vv = jnp.float32(ty_i * cfg.th + rr)
+            rx = m[0] * u + (m[1] * vv + m[2])
+            ry = m[4] * u + (m[5] * vv + m[6])
+            rz = m[8] * u + (m[9] * vv + m[10])
+            px = rx * dep + m[3]
+            py = ry * dep + m[7]
+            pz = rz * dep + m[11]
+            neg = pz <= 1e-3
+            ix = jnp.where(neg, wf, px / pz)
+            iy = jnp.where(neg, hf, py / pz)
+            w00, w01, w10, w11 = _bilinear_weights(ix, iy, cfg.img_h, cfg.img_w)
+            x0f = jnp.floor(ix)
+            y0f = jnp.floor(iy)
+            qx = jnp.clip(x0f, -1, cfg.img_w - 1).astype(jnp.int32) + 1 - ox
+            qy = jnp.clip(y0f, -1, cfg.img_h - 1).astype(jnp.int32) + 1 - oy
+            ryy = qy - r0
+            li = _band_index(qx, ryy, cfg.hband, cfg.wwin, c4)
+            h = (j_lin == li[None, :]).astype(jnp.bfloat16)
+            taps = _band_matmul(band_flat, h)  # [C4, SC]
+            warped = (taps[0 * c:1 * c] * w00[None, :]
+                      + taps[1 * c:2 * c] * w01[None, :]
+                      + taps[2 * c:3 * c] * w10[None, :]
+                      + taps[3 * c:4 * c] * w11[None, :])  # [C, SC]
+            ref_rep = pltpu.repeat(ref_ref[0, 0, 0, rr].astype(jnp.float32), dc, axis=1)
+            prod = warped * ref_rep
+            sim = jax.lax.dot_general(
+                gm, prod, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, SC]
+            sim = sim * vw_rep
+
+            @pl.when(first)
+            def _():
+                out_ref[0, :, 0, 0, rr, sl] = sim
+
+            @pl.when(~first)
+            def _():
+                out_ref[0, :, 0, 0, rr, sl] = out_ref[0, :, 0, 0, rr, sl] + sim
+
+
+def _pallas_windowed_proj_views(quads, mats, depth_p, view_weights_p, ix, iy,
+                                ref_feature, gm, cfg: WindowConfig,
+                                img_h: int, img_w: int):
+    """Views-fused proj variant. quads: [B, V, Ht, Wt, 4C] stacked tables;
+    mats: [B, V, 12]; view_weights_p: [B, V, HP, WP] f32 (padded);
+    ix/iy: [B, V, D, HP, WP] (origin reductions only).
+    Returns the view-weighted similarity SUM [B, G, D, HP, WP] f32."""
+    b, nv, d, hp, wp = ix.shape
+    _, _, table_h, table_w, c4 = quads.shape
+    c = c4 // 4
+    pf = _col_pack(c4)
+    g = gm.shape[1]
+    s = d * cfg.tw
+
+    oy, ox, r0 = _origins(
+        ix.reshape(b * nv, d, hp, wp), iy.reshape(b * nv, d, hp, wp),
+        cfg, img_h, img_w, table_h, table_w,
+    )  # flattened over (b, v, ty, tx) in exactly the kernel's t order
+    dep_t = _tile_coords(depth_p, cfg)[:, None]  # [B, 1, TY, TX, th, s]
+    ref_t = ref_feature.reshape(b, cfg.ty, cfg.th, cfg.tx, cfg.tw, c)
+    ref_t = jnp.transpose(ref_t, (0, 1, 3, 2, 5, 4))
+    # [B, V, TY, TX, th, TW]
+    vw_t = view_weights_p.reshape(b, nv, cfg.ty, cfg.th, cfg.tx, cfg.tw)
+    vw_t = jnp.transpose(vw_t, (0, 1, 2, 4, 3, 5))
+
+    class _Cfg(NamedTuple):
+        th: int
+        tw: int
+        ty: int
+        tx: int
+        wwin: int
+        hband: int
+        hp: int
+        wp: int
+        hwin: int
+        img_h: int
+        img_w: int
+
+    kcfg = _Cfg(*cfg, img_h, img_w)
+
+    E = pallas_core.Element
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, cfg.ty, cfg.tx, nv),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, 1, cfg.th, s),
+                         lambda bb, ty, tx, v, *_: (bb, 0, ty, tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, cfg.th, c, cfg.tw),
+                         lambda bb, ty, tx, v, *_: (bb, ty, tx, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, cfg.th, cfg.tw),
+                         lambda bb, ty, tx, v, *_: (bb, v, ty, tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (E(1), E(1), E(cfg.hwin), E(cfg.wwin // pf), E(pf * c4)),
+                lambda bb, ty, tx, v, oy_s, ox_s, r0_s, mat_s: (
+                    bb,
+                    v,
+                    pl.multiple_of(
+                        oy_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx], 8
+                    ),
+                    pl.multiple_of(
+                        ox_s[((bb * nv + v) * cfg.ty + ty) * cfg.tx + tx] // pf,
+                        16 // pf,
+                    ),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c, g), lambda *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, 1, 1, cfg.th, s),
+                               lambda bb, ty, tx, v, *_: (bb, 0, ty, tx, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_proj_views, kcfg, c, g, nv),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, g, cfg.ty, cfg.tx, cfg.th, s), jnp.float32
+        ),
+        grid_spec=grid_spec,
+    )(oy, ox, r0, mats.reshape(-1), dep_t, ref_t, vw_t,
+      quads.reshape(b, nv, table_h, table_w // pf, pf * c4), gm)
+    out = out.reshape(b, g, cfg.ty, cfg.tx, cfg.th, d, cfg.tw)
+    out = jnp.transpose(out, (0, 1, 5, 2, 4, 3, 6))
+    return out.reshape(b, g, d, hp, wp)
+
+
+def windowed_group_similarity_proj_views(quads, mats, depth, ref_feature, gm,
+                                         view_weights, cfg: WindowConfig):
+    """View-weighted similarity sum over all source views in ONE kernel.
+
+    Args:
+        quads: [B, V, Ht, Wt, 4C] stacked quad tables (bf16 for Pallas).
+        mats: [B, V, 12] per-view projection scalars (warp_proj_coeffs).
+        depth: [B, D, H, W] f32 depth hypotheses (shared across views).
+        ref_feature: [B, H, W, C].
+        gm: [C, G] f32 group-mean matrix.
+        view_weights: [B, V, H, W] f32 per-view pixel weights.
+    Returns:
+        [B, G, D, H, W] f32: sum_v view_weights[v] * similarity_v.
+
+    Inference-only (no VJP): used when the per-view visibility weights are
+    already known (every evaluation call after the stage-3 first iteration,
+    reference: models/patchmatch.py:466-501 reusing pixel-wise weights).
+    """
+    b, nv = quads.shape[:2]
+    _, d, img_h, img_w = depth.shape
+    depth_p, _, ref_p = _pad_spatial(depth, depth, ref_feature, cfg)
+    vw_p = view_weights
+    if (cfg.hp, cfg.wp) != (img_h, img_w):
+        vw_p = jnp.pad(
+            view_weights,
+            ((0, 0), (0, 0), (0, cfg.hp - img_h), (0, cfg.wp - img_w)),
+        )
+    ix, iy = jax.vmap(
+        lambda m: _coords_from_depth(m, depth_p, img_h, img_w),
+        in_axes=1, out_axes=1,
+    )(mats)  # [B, V, D, HP, WP]
+    if (
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or not on_tpu()
+        or (d * cfg.tw) % 128 != 0
+    ):
+        out = jnp.zeros((b, gm.shape[1], d, cfg.hp, cfg.wp), jnp.float32)
+        for v in range(nv):
+            sim = _jnp_windowed(
+                quads[:, v], ix[:, v], iy[:, v], ref_p, gm, cfg, img_h, img_w
+            )
+            out = out + sim * vw_p[:, v, None, None]
+    else:
+        out = _pallas_windowed_proj_views(
+            quads, mats, depth_p, vw_p.astype(jnp.float32), ix, iy, ref_p,
+            gm, cfg, img_h, img_w,
+        )
+    return out[:, :, :, :img_h, :img_w]
+
+
 def _wgsp_impl(quad2d, mat12, depth, ref_feature, gm, cfg: WindowConfig):
     _, _, img_h, img_w = depth.shape
     depth_p, _, ref_feature = _pad_spatial(depth, depth, ref_feature, cfg)
@@ -998,10 +1257,14 @@ def _wgsp_bwd(cfg, residuals, dout):
     lin = jnp.clip(qy, 0, table_h - 1) * table_w + jnp.clip(qx, 0, table_w - 1)
     dtaps = dtaps[:, :, :img_h, :img_w].reshape(b, -1, c4)
     lin = lin[:, :, :img_h, :img_w].reshape(b, -1)
+    # accumulate in f32: each quad cell receives up to D x window-overlap
+    # colliding contributions, and a bf16 running sum swamps small terms
+    # once it is ~256x a contribution (the kernel's bf16 d_taps HBM
+    # traffic is fine — only the scatter sum needs the wide accumulator)
     d_quad = jnp.zeros(
-        (b, table_h * table_w, c4), quad2d.dtype
-    ).at[jnp.arange(b)[:, None], lin, :].add(dtaps)
-    d_quad = d_quad.reshape(b, table_h, table_w, c4)
+        (b, table_h * table_w, c4), jnp.float32
+    ).at[jnp.arange(b)[:, None], lin, :].add(dtaps.astype(jnp.float32))
+    d_quad = d_quad.reshape(b, table_h, table_w, c4).astype(quad2d.dtype)
     d_ref = dref_p[:, :img_h, :img_w].astype(ref_feature.dtype)
     return (d_quad, zeros[0], zeros[1], d_ref, zeros[2])
 

@@ -309,3 +309,110 @@ def test_windowed_proj_custom_vjp_matches_autodiff():
         )
     )(depth)
     assert float(jnp.max(jnp.abs(d_depth))) == 0.0
+
+
+def test_windowed_proj_vjp_with_escapes_pf1():
+    """Custom-VJP correctness ON AN ESCAPING GEOMETRY, pf=1 path (C4=128,
+    the stage-2/3 shape class). Samples that escape the window band
+    contribute exactly zero in the forward; their cotangents must also be
+    exactly zero in the backward — the Pallas backward kernel recomputes
+    the band index in-kernel and must agree with the forward about which
+    samples matched nothing (an above-band index >= K matches no one-hot
+    row yet is >= 0, so a sign-only mask silently corrupts d_quad)."""
+    from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+        _coords_from_depth,
+        _jnp_windowed,
+        escape_count,
+        windowed_group_similarity_proj,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, w, c, d, g = 1, 64, 48, 32, 8, 8  # c4 = 128 -> pf == 1
+    feat = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    ref = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    # identity-ish projection with a translation that makes iy depend on
+    # depth: iy = v + m7/dep. Normal depths (4..6) shift ~1.5-2 rows; the
+    # teleported hypothesis (dep = 0.25) shifts 32 rows -> in-image but far
+    # outside any band that covers its ref row.
+    mat = np.zeros((b, 12), np.float32)
+    mat[:, 0] = 1.0   # rx = u
+    mat[:, 5] = 1.0   # ry = v
+    mat[:, 10] = 1.0  # rz = 1 -> pz = dep
+    mat[:, 7] = 8.0   # py = v*dep + 8
+    mat12 = jnp.asarray(mat)
+    depth_np = rng.random((b, d, h, w)).astype(np.float32) * 2 + 4
+    depth_np[:, 3, :24, :] = 0.25  # escape block (rows stay < 64: in-image)
+    depth = jnp.asarray(depth_np)
+    gm = _group_mean(c, g)
+    cfg = make_config(h, w)
+    assert (cfg.hp, cfg.wp) == (h, w)  # exact tiling, no padding effects
+    quad = make_quad_table_2d(feat)
+    ix, iy = _coords_from_depth(mat12, depth, h, w)
+    esc = int(escape_count(ix, iy, cfg, h, w, quad.shape[1], quad.shape[2]))
+    assert esc > 0, "fixture must actually escape"
+    cot = jnp.asarray(rng.standard_normal((b, g, d, h, w)), jnp.float32)
+
+    def loss_custom(q, r):
+        return jnp.sum(
+            windowed_group_similarity_proj(q, mat12, depth, r, gm, cfg) * cot
+        )
+
+    def loss_oracle(q, r):
+        out = _jnp_windowed(q, ix, iy, r, gm, cfg, h, w)
+        return jnp.sum(out * cot)
+
+    dq1, dr1 = jax.grad(loss_custom, argnums=(0, 1))(quad, ref)
+    dq2, dr2 = jax.grad(loss_oracle, argnums=(0, 1))(quad, ref)
+    # tolerance: the Pallas kernel's band matmul rounds through bf16 on the
+    # MXU (~3e-3 max on O(1) grads); the escape bug this test guards put
+    # ~1.0-magnitude garbage on 27% of d_quad, far above this band
+    dq_err = np.abs(np.asarray(dq1) - np.asarray(dq2))
+    assert dq_err.max() < 1e-2, f"d_quad max err {dq_err.max()}"
+    assert dq_err.mean() < 1e-4, f"d_quad mean err {dq_err.mean()}"
+    np.testing.assert_allclose(np.asarray(dr1), np.asarray(dr2),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_views_fused_matches_per_view_weighted_sum():
+    """The views-fused entry (one kernel accumulating the view-weighted
+    similarity across sources, used whenever view weights are known —
+    reference semantics: models/patchmatch.py:198-217 weighted view
+    aggregation) equals the per-view path times weights, summed."""
+    from patchmatchnet_tpu.ops.pallas.windowed_similarity import (
+        _coords_from_depth,
+        _pad_spatial,
+        windowed_group_similarity_proj,
+        windowed_group_similarity_proj_views,
+    )
+
+    rng = np.random.default_rng(7)
+    b, v, h, w, c, d, g = 1, 3, 32, 48, 16, 8, 4
+    feats = jnp.asarray(rng.random((b, v, h, w, c), np.float32))
+    ref = jnp.asarray(rng.random((b, h, w, c), np.float32))
+    mats = np.zeros((b, v, 12), np.float32)
+    for i in range(v):
+        mats[:, i, 0] = 1.0
+        mats[:, i, 5] = 1.0
+        mats[:, i, 10] = 1.0
+        mats[:, i, 3] = 0.3 * i
+        mats[:, i, 7] = 0.2 * (i - 1)
+    mats = jnp.asarray(mats)
+    depth = jnp.asarray(rng.random((b, d, h, w)).astype(np.float32) * 2 + 4)
+    gm = _group_mean(c, g)
+    vw = jnp.asarray(rng.random((b, v, h, w)).astype(np.float32))
+    cfg = make_config(h, w)
+    quads = make_quad_table_2d(feats.reshape(b * v, h, w, c))
+    quads = quads.reshape(b, v, *quads.shape[1:])
+
+    fused = windowed_group_similarity_proj_views(
+        quads, mats, depth, ref, gm, vw, cfg
+    )
+    expect = jnp.zeros_like(fused)
+    for i in range(v):
+        sim = windowed_group_similarity_proj(
+            quads[:, i], mats[:, i], depth, ref, gm, cfg
+        )
+        expect = expect + sim * vw[:, i][:, None, None]
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(expect), rtol=1e-5, atol=1e-5
+    )
