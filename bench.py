@@ -182,6 +182,20 @@ def main():
         help="skip the train-step throughput side metric in the JSON line",
     )
     parser.add_argument(
+        "--no-tanks-metric",
+        action="store_true",
+        help="skip the second-geometry (Tanks 1056x1920 N=7) side metric",
+    )
+    parser.add_argument(
+        "--no-derive-windows",
+        dest="derive_windows",
+        action="store_false",
+        default=True,
+        help="disable the per-scene windowed-sampler (tw, hband) derivation "
+        "(ops/pallas/window_bounds; the production DepthEstimator default) "
+        "and use the measured-envelope defaults instead",
+    )
+    parser.add_argument(
         "--train-f32",
         action="store_true",
         help="benchmark the f32 (reference-parity) trainer instead of the "
@@ -233,6 +247,69 @@ def main():
     )
     variables = load_variables(ckpt)
     model = PatchmatchNet(compute_dtype=jnp.bfloat16 if args.bf16 else None)
+
+    mpix_s = _bench_forward(args, model, variables)
+
+    record = {
+        "metric": f"depth-map inference throughput, DTU config "
+        f"{args.width}x{args.height} N={args.num_views}",
+        "value": round(mpix_s, 3),
+        "unit": "MPix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }
+    _emit_side_metrics(args, model, variables, record)
+    print(json.dumps(record), flush=True)
+
+
+def _derived_window_env(args):
+    """Per-stage derived (tw, hband) env overrides for the bench geometry —
+    the same derivation the production DepthEstimator performs per shape
+    (infer/depth.py). Returns the env dict (empty when derivation is off,
+    the model is f32/gather, or the derivation declines)."""
+    if not (args.derive_windows and args.bf16):
+        return {}
+    try:
+        from patchmatchnet_tpu.ops.pallas.window_bounds import (
+            derive_batch_windows,
+        )
+
+        _, intr, extr, dmin, dmax, _ = build_inputs(
+            args.batch, args.num_views, args.height, args.width
+        )
+        spec = derive_batch_windows(
+            intr, extr, dmin, dmax, args.height, args.width
+        )
+        return {
+            f"PATCHMATCHNET_TPU_WIN_S{s}": f"{v[0]},{v[1]}"
+            for s, v in spec.items()
+            if v
+        }
+    except Exception as exc:  # never break the metric on a derivation bug
+        print(f"window derivation failed: {exc}", file=sys.stderr)
+        return {}
+
+
+def _bench_forward(args, model, variables):
+    """Timed forward benchmark at args' geometry; returns MPix/s."""
+    import jax
+    import jax.numpy as jnp
+
+    env = _derived_window_env(args)
+    prev = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        return _bench_forward_inner(args, model, variables)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _bench_forward_inner(args, model, variables):
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def forward(images, intrinsics, extrinsics, depth_min, depth_max, noise):
@@ -339,37 +416,53 @@ def main():
             f"{args.width}x{args.height} depth map",
             file=sys.stderr,
         )
+    return mpix_s
 
-    record = {
-        "metric": f"depth-map inference throughput, DTU config "
-        f"{args.width}x{args.height} N={args.num_views}",
-        "value": round(mpix_s, 3),
-        "unit": "MPix/s",
-        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
-    }
-    # Deadline guard: the train side-metric costs a second large compile.
-    # Cold (empty .cache/jax) the whole bench measured 15+ min wall on this
-    # box — almost all of it tunnel-side XLA compiles — which risks the
-    # driver's own timeout killing the process before ANY metric prints.
-    # If the remaining budget looks too small, emit the primary line
-    # without the train keys instead of dying with nothing.
-    # Default chosen against measured tunnel variance: the forward section
-    # took 90 s and 505 s on two back-to-back runs of the same binary
-    # (tunnel-side compile queue); 780 s + the train section (~3 min) stays
-    # under the 15-min envelope the round-3 driver demonstrably tolerated.
+
+def _emit_side_metrics(args, model, variables, record):
+    """Optional extra keys on the SAME JSON line (driver parse stays
+    stable), each behind the wall-clock deadline guard: cold (empty
+    .cache/jax) the whole bench measured 15+ min wall on this box — almost
+    all of it tunnel-side XLA compiles — which risks the driver's own
+    timeout killing the process before ANY metric prints. If the remaining
+    budget looks too small, emit the primary line without the side keys
+    instead of dying with nothing. Default chosen against measured tunnel
+    variance: the forward section took 90 s and 505 s on two back-to-back
+    runs of the same binary (tunnel-side compile queue); 780 s + the side
+    sections stays under the 15-min envelope the round-3 driver
+    demonstrably tolerated."""
+    import copy
+
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "780"))
-    elapsed_wall = time.monotonic() - _PROCESS_START
-    if not args.no_train_metric and elapsed_wall > deadline:
+
+    def over_deadline():
+        return time.monotonic() - _PROCESS_START > deadline
+
+    # Second geometry: Tanks & Temples eval class (1056x1920 N=7,
+    # reference eval.sh:19-21) — wins on the primary DTU config that
+    # regress wide-baseline geometries must show up here (VERDICT r4
+    # item 6).
+    if not args.no_tanks_metric:
+        if over_deadline():
+            record["tanks_skipped"] = "deadline"
+        else:
+            gargs = copy.copy(args)
+            gargs.height, gargs.width, gargs.num_views = 1056, 1920, 7
+            gargs.iters, gargs.warmup = 6, 1
+            try:
+                g_mpix = _bench_forward(gargs, model, variables)
+                record["tanks_1056x1920_n7_mpix_s"] = round(g_mpix, 3)
+            except Exception as exc:
+                record["tanks_error"] = str(exc)[:200]
+
+    if not args.no_train_metric and over_deadline():
         record["train_skipped"] = (
-            f"deadline: {elapsed_wall:.0f}s elapsed > {deadline:.0f}s "
-            "(cold compile; see bench notes in PROGRESS.md)"
+            f"deadline: {time.monotonic() - _PROCESS_START:.0f}s elapsed > "
+            f"{deadline:.0f}s (cold compile; see bench notes in PROGRESS.md)"
         )
         args.no_train_metric = True
     if not args.no_train_metric:
-        # driver-visible training throughput (VERDICT round-2 item 5):
-        # extra keys on the same line keep the driver's parse stable
-        import copy
-
+        # driver-visible training throughput (VERDICT round-2 item 5)
         targs = copy.copy(args)
         targs.height, targs.width, targs.batch = 512, 640, 2
         targs.iters, targs.warmup = 4, 1
@@ -382,7 +475,6 @@ def main():
             )
         except Exception as exc:  # never break the primary metric
             record["train_error"] = str(exc)[:200]
-    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -142,6 +142,11 @@ def cmd_eval(argv: List[str]) -> None:
                    "crop outputs back) so mixed-size datasets (ETH3D) reuse "
                    "a few compiled shapes instead of recompiling per size; "
                    "0 = exact shapes")
+    p.add_argument("--no_derive_windows", dest="derive_windows",
+                   action="store_false", default=True,
+                   help="disable the per-scene windowed-sampler window "
+                   "derivation (ops/pallas/window_bounds) and fall back to "
+                   "the measured-envelope defaults + escape-demote")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     if not args.output_folder:
@@ -178,6 +183,7 @@ def cmd_eval(argv: List[str]) -> None:
                 build_model(cfg, inference=True),
                 mesh=mesh,
                 bucket_multiple=args.shape_bucket,
+                derive_windows=args.derive_windows,
             )
         dataset = MVSDataset(
             args.input_folder,

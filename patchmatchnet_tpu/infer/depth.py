@@ -46,6 +46,7 @@ class DepthEstimator:
         model: Optional[PatchmatchNet] = None,
         mesh=None,
         bucket_multiple: int = 0,
+        derive_windows: bool = True,
     ):
         """bucket_multiple > 0 rounds (H, W) up to that multiple with
         edge-replicated padding and crops the outputs back, so datasets with
@@ -53,7 +54,20 @@ class DepthEstimator:
         of compiled shapes instead of one compile per distinct size.
         Validity is exact for interior pixels up to border effects inside
         the pad margin (conv halo + sampling near the seam); 0 = exact
-        shapes (reference-parity, one compile per distinct size)."""
+        shapes (reference-parity, one compile per distinct size).
+
+        derive_windows=True (default) derives the windowed sampler's
+        per-stage (tile width, band height) from the first batch's
+        projection geometry (ops/pallas/window_bounds.derive_batch_windows)
+        instead of the measured-envelope defaults: geometries whose
+        epipolar tilt overflows the default band (e.g. ETH3D portrait
+        orientations) run windowed at a derived sound band rather than
+        demoting to the gather sampler, and geometries with less tilt than
+        the envelope get a cheaper kernel (fewer one-hot MACs). Stages the
+        derivation proves unsound at any candidate window start on the
+        gather sampler directly (no escape round trip). The in-graph
+        escape counter stays on as the runtime backstop: an escape
+        re-derives from the escaping batch once, then demotes."""
         if bucket_multiple and bucket_multiple % 8 != 0:
             raise ValueError("bucket_multiple must be a multiple of 8")
         self.bucket_multiple = bucket_multiple
@@ -95,29 +109,37 @@ class DepthEstimator:
 
         self._forward_fn = forward
         self._forward = jax.jit(forward)
-        # per-stage fallback state: stage-set key -> jitted program, and a
-        # sticky per-(padded H, W) choice so a geometry that escapes once
-        # runs the demoted program DIRECTLY on subsequent batches (one run,
-        # not run + re-run). Measured need: ETH3D portrait orientation
-        # escapes ~2.6M stage-3 samples on EVERY batch (PROGRESS.md round 4).
-        self._forwards: Dict[str, Any] = {}
+        # per-stage fallback state: (stage-set, windows) key -> jitted
+        # program, and a sticky per-(padded H, W) choice so a geometry that
+        # escapes once runs the demoted/retuned program DIRECTLY on
+        # subsequent batches (one run, not run + re-run). Measured need:
+        # ETH3D portrait orientation escapes ~2.6M stage-3 samples on EVERY
+        # batch at the envelope band (PROGRESS.md round 4).
+        self._forwards: Dict[Any, Any] = {}
         self._stage_override: Dict[Any, str] = {}
+        self._derive_windows = derive_windows
+        # per-shape derived windows: shape_key -> tuple of (stage, tw, hband)
+        self._windows: Dict[Any, tuple] = {}
+        self._retunes: Dict[Any, int] = {}  # (shape_key, stage) -> count
         self.escape_fallbacks = 0  # batches re-run on a demoted sampler set
 
-    def _run(self, stages_key: Optional[str], args):
+    def _run(self, stages_key: Optional[str], windows: Optional[tuple], args):
         """Run the forward with the windowed sampler restricted to
         `stages_key` (comma-joined stage ids; "" = pure gather; None = the
-        ambient environment default). The sampler choice is read from the
-        environment at TRACE time, and jax.jit traces once per input shape —
-        so the override must wrap every call (a new shape arriving later
-        would otherwise trace without it and silently pick the windowed
-        sampler again)."""
-        if stages_key is None:
+        ambient environment default) and per-stage derived windows
+        `windows` (tuple of (stage, tw, hband); None/absent stage = the
+        envelope default). The sampler choice is read from the environment
+        at TRACE time, and jax.jit traces once per input shape — so the
+        override must wrap every call (a new shape arriving later would
+        otherwise trace without it and silently pick the windowed sampler
+        again)."""
+        if stages_key is None and not windows:
             return self._forward(*args)
-        fn = self._forwards.get(stages_key)
+        key = (stages_key, windows)
+        fn = self._forwards.get(key)
         if fn is None:
-            # A fresh closure per stage set is REQUIRED, not style:
-            # jax.jit's trace cache is keyed on the wrapped function
+            # A fresh closure per (stage set, windows) is REQUIRED, not
+            # style: jax.jit's trace cache is keyed on the wrapped function
             # object, so jax.jit(self._forward_fn) would silently REUSE
             # the default program's trace (and its trace-time sampler
             # choice) instead of re-reading the environment. Verified
@@ -127,24 +149,53 @@ class DepthEstimator:
             def run(*a, _inner=inner):
                 return _inner(*a)
 
-            fn = self._forwards[stages_key] = jax.jit(run)
-        prev_s = os.environ.get("PATCHMATCHNET_TPU_SAMPLER")
-        prev_w = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES")
-        if stages_key:
-            os.environ["PATCHMATCHNET_TPU_WINDOWED_STAGES"] = stages_key
-        else:
-            os.environ["PATCHMATCHNET_TPU_SAMPLER"] = "gather"
+            fn = self._forwards[key] = jax.jit(run)
+        keys = ("PATCHMATCHNET_TPU_SAMPLER", "PATCHMATCHNET_TPU_WINDOWED_STAGES")
+        keys += tuple(f"PATCHMATCHNET_TPU_WIN_S{s}" for s, _, _ in windows or ())
+        prev = {k: os.environ.get(k) for k in keys}
+        if stages_key is not None:
+            if stages_key:
+                os.environ["PATCHMATCHNET_TPU_WINDOWED_STAGES"] = stages_key
+            else:
+                os.environ["PATCHMATCHNET_TPU_SAMPLER"] = "gather"
+        for s, tw, hband in windows or ():
+            os.environ[f"PATCHMATCHNET_TPU_WIN_S{s}"] = f"{tw},{hband}"
         try:
             return fn(*args)
         finally:
-            for k, prev in (
-                ("PATCHMATCHNET_TPU_SAMPLER", prev_s),
-                ("PATCHMATCHNET_TPU_WINDOWED_STAGES", prev_w),
-            ):
-                if prev is None:
+            for k, v in prev.items():
+                if v is None:
                     os.environ.pop(k, None)
                 else:
-                    os.environ[k] = prev
+                    os.environ[k] = v
+
+    def _windowed_active(self) -> bool:
+        """Whether this model/environment selects the windowed sampler at
+        all (mirrors the trace-time test in models/patchmatch.py): f32
+        models use the exact gather sampler — nothing to derive."""
+        dt = getattr(self.model, "compute_dtype", None)
+        return (
+            dt is not None
+            and jnp.dtype(dt).itemsize < 4
+            and os.environ.get("PATCHMATCHNET_TPU_SAMPLER", "windowed")
+            == "windowed"
+        )
+
+    def _derive_spec(self, batch: Dict[str, Any], h: int, w: int) -> dict:
+        """Raw per-stage derivation from this batch's projections:
+        {stage: (tw, hband) or None}."""
+        from patchmatchnet_tpu.ops.pallas.window_bounds import (
+            derive_batch_windows,
+        )
+
+        return derive_batch_windows(
+            np.asarray(batch["intrinsics"]),
+            np.asarray(batch["extrinsics"]),
+            np.asarray(batch["depth_min"]),
+            np.asarray(batch["depth_max"]),
+            h,
+            w,
+        )
 
     def _active_stages(self, stages_key: Optional[str]) -> frozenset:
         """Stage ids the windowed sampler is currently allowed on."""
@@ -190,44 +241,100 @@ class DepthEstimator:
             args = shard_batch(args, self.mesh)
         shape_key = (h, w)
         stages_key = self._stage_override.get(shape_key)
-        depth, confidence, escapes = self._run(stages_key, args)
+        windows = self._windows.get(shape_key)
+        if (
+            shape_key not in self._windows
+            and self._derive_windows
+            and self._windowed_active()
+        ):
+            # First batch at this shape: derive the per-stage windows from
+            # its projection geometry. Stages with no sound window at any
+            # candidate start demoted (no escape round trip); soundness for
+            # LATER batches with different cameras is not guaranteed by
+            # this derivation — the escape backstop below re-derives once.
+            spec = self._derive_spec(batch, h, w)
+            windows = tuple(
+                sorted((s, v[0], v[1]) for s, v in spec.items() if v)
+            )
+            unsound = {str(s) for s, v in spec.items() if v is None}
+            self._windows[shape_key] = windows
+            if unsound and stages_key is None:
+                stages_key = ",".join(
+                    sorted(self._active_stages(None) - unsound)
+                )
+                self._stage_override[shape_key] = stages_key
+        depth, confidence, escapes = self._run(stages_key, windows, args)
         esc = np.asarray(escapes)
+        rounds = 0
         while esc.sum() > 0:
             # The windowed sampler's locality bound was exceeded at the
             # escaping stage(s) (it would have zeroed `escapes` samples).
-            # Demote ONLY those stages to the exact gather sampler and
-            # re-run — correctness over speed — then remember the demotion
-            # for this shape so later batches run the mixed program
-            # directly. Stages that stay windowed remain guarded: if they
-            # escape on a later batch the loop demotes them too, bottoming
-            # out at pure gather (which cannot escape).
+            # Re-derive the window for those stages from THIS batch once
+            # (correctness over speed); if a retuned stage escapes again —
+            # or the derivation has no better answer — demote it to the
+            # exact gather sampler. The choice is sticky per shape so later
+            # batches run the retuned/demoted program directly. Stages that
+            # stay windowed remain guarded, bottoming out at pure gather
+            # (which cannot escape).
             import warnings
 
+            rounds += 1
             active = self._active_stages(stages_key)
             escaped = {str(s + 1) for s in range(3) if esc[s] > 0}
-            reduced = active - escaped
-            if reduced == active:
-                # escapes reported by a stage that is not windowed here —
-                # demotion cannot help; keep the result (escaped samples
-                # contribute zero) rather than loop forever
+            bad = sorted(escaped & active)
+            if not bad or rounds > 4:
+                # escapes reported by a stage that is not windowed here
+                # (demotion cannot help; escaped samples contribute zero),
+                # or the retune loop failed to converge — keep the result
                 warnings.warn(
-                    f"escape counter fired ({int(esc.sum())}) outside the "
-                    f"active windowed stage set {sorted(active)}; keeping "
-                    "the current result"
+                    f"escape counter fired ({int(esc.sum())}) at stage(s) "
+                    f"{sorted(escaped)} with windowed set {sorted(active)} "
+                    f"after {rounds - 1} fallback round(s); keeping the "
+                    "current result"
                 )
                 break
-            stages_key = ",".join(sorted(reduced))
+            wmap = {s: (tw, hb) for s, tw, hb in (windows or ())}
+            demoted = set()
+            if self._derive_windows:
+                spec = self._derive_spec(batch, h, w)
+                for s in bad:
+                    si = int(s)
+                    new = spec.get(si)
+                    if (
+                        new is None
+                        or new == wmap.get(si)
+                        or self._retunes.get((shape_key, si), 0) >= 1
+                    ):
+                        demoted.add(s)
+                    else:
+                        self._retunes[(shape_key, si)] = (
+                            self._retunes.get((shape_key, si), 0) + 1
+                        )
+                        wmap[si] = new
+            else:
+                demoted = set(bad)
+            if demoted:
+                stages_key = ",".join(sorted(active - demoted))
+                self._stage_override[shape_key] = stages_key
+                for s in demoted:
+                    wmap.pop(int(s), None)
+            windows = tuple(
+                sorted((s, tw, hb) for s, (tw, hb) in wmap.items())
+            )
+            self._windows[shape_key] = windows
             warnings.warn(
                 f"windowed sampler escaped {int(esc.sum())} samples at "
-                f"stage(s) {sorted(escaped)}; re-running with the windowed "
-                f"sampler restricted to stage(s) "
-                f"{sorted(reduced) or ['none — pure gather']} (sticky for "
-                f"shape {shape_key}; consider PATCHMATCHNET_TPU_HBAND/_TW "
-                "tuning for this dataset geometry)"
+                f"stage(s) {bad}; "
+                + (
+                    f"demoting stage(s) {sorted(demoted)} to the gather "
+                    "sampler"
+                    if demoted
+                    else f"retuned windows to {windows}"
+                )
+                + f" (sticky for shape {shape_key})"
             )
             self.escape_fallbacks += 1
-            self._stage_override[shape_key] = stages_key
-            depth, confidence, escapes = self._run(stages_key, args)
+            depth, confidence, escapes = self._run(stages_key, windows, args)
             esc = np.asarray(escapes)
         depth = np.asarray(depth)
         confidence = np.asarray(confidence)
@@ -274,12 +381,17 @@ class ModuleEstimator(DepthEstimator):
             out = self._exported.call(
                 images, intrinsics, extrinsics, depth_min, depth_max, noise
             )
-            # exported artifacts predate the escape diagnostic: no fallback
+            # Exported artifacts are f32/gather-sampler only (enforced at
+            # export time, compat/export.py): the gather sampler cannot
+            # escape, so a zero escape vector is exact, not a bypass.
             return (*out, jnp.zeros((3,), jnp.int32))
 
         self._forward = forward
         self._forwards = {}
         self._stage_override = {}
+        self._derive_windows = False  # sampler baked into the artifact
+        self._windows = {}
+        self._retunes = {}
         self.escape_fallbacks = 0
 
 

@@ -86,6 +86,9 @@ def test_per_stage_demotion_is_sticky():
     est.mesh = None
     est._forwards = {}
     est._stage_override = {}
+    est._derive_windows = False  # plain demotion semantics under test
+    est._windows = {}
+    est._retunes = {}
     est.escape_fallbacks = 0
 
     traces = []  # (sampler, stages) seen at TRACE time by each program
@@ -120,6 +123,109 @@ def test_per_stage_demotion_is_sticky():
     est(batch, jax.random.PRNGKey(1))
     assert est.escape_fallbacks == 1
     assert traces == [("windowed", "1,2,3"), ("windowed", "1,2")]
+
+
+def _controller_est(fwd, derive_windows, spec_fn=None, windowed=True):
+    """Bare DepthEstimator controller around a fake forward (no compile)."""
+    from patchmatchnet_tpu.infer import DepthEstimator
+
+    est = DepthEstimator.__new__(DepthEstimator)
+    est.bucket_multiple = 0
+    est.mesh = None
+    est._forwards = {}
+    est._stage_override = {}
+    est._derive_windows = derive_windows
+    est._windows = {}
+    est._retunes = {}
+    est.escape_fallbacks = 0
+    est._forward_fn = fwd
+    est._forward = jax.jit(fwd)
+    if spec_fn is not None:
+        est._derive_spec = spec_fn
+    if derive_windows:
+        est._windowed_active = lambda: windowed
+    return est
+
+
+def _tiny_batch(h=16, w=32):
+    b, n = 1, 2
+    return {
+        "images": np.zeros((b, n, h, w, 3), np.float32),
+        "intrinsics": np.zeros((b, n, 3, 3), np.float32),
+        "extrinsics": np.zeros((b, n, 4, 4), np.float32),
+        "depth_min": np.asarray([1.0], np.float32),
+        "depth_max": np.asarray([2.0], np.float32),
+    }
+
+
+def test_first_batch_derivation_sets_windows_and_demotes_unsound():
+    """derive_windows=True: the first batch at a shape derives per-stage
+    (tw, hband) BEFORE running (stages the derivation proves unsound start
+    on gather directly — no escape round trip), and the derived windows are
+    visible to the traced program via the per-stage env overrides."""
+    traces = []
+
+    def fwd(images, intr, extr, dmin, dmax, noise):
+        traces.append(
+            (
+                os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3"),
+                os.environ.get("PATCHMATCHNET_TPU_WIN_S1"),
+                os.environ.get("PATCHMATCHNET_TPU_WIN_S2"),
+                os.environ.get("PATCHMATCHNET_TPU_WIN_S3"),
+            )
+        )
+        b, _, h, w = images.shape[:4]
+        return (
+            jnp.zeros((b, h, w)),
+            jnp.zeros((b, h, w)),
+            jnp.zeros((3,), jnp.int32),
+        )
+
+    spec = {1: (48, 6), 2: (32, 8), 3: None}  # stage 3 unsound
+    est = _controller_est(fwd, True, spec_fn=lambda b, h, w: dict(spec))
+    h, w = 16, 32
+    est(_tiny_batch(h, w), jax.random.PRNGKey(0))
+    assert est._stage_override == {(h, w): "1,2"}
+    assert est._windows == {(h, w): ((1, 48, 6), (2, 32, 8))}
+    assert est.escape_fallbacks == 0  # no run-and-rerun round trip
+    # second batch: cached program, no re-derivation trace
+    est(_tiny_batch(h, w), jax.random.PRNGKey(1))
+    assert traces == [("1,2", "48,6", "32,8", None)]
+
+
+def test_escape_retunes_once_then_demotes():
+    """derive_windows=True: an escape at a windowed stage re-derives from
+    the escaping batch and retries with the new window once; if the stage
+    escapes AGAIN it is demoted to gather (bounded recompiles)."""
+    calls = []
+
+    def fwd(images, intr, extr, dmin, dmax, noise):
+        stages = os.environ.get("PATCHMATCHNET_TPU_WINDOWED_STAGES", "1,2,3")
+        win3 = os.environ.get("PATCHMATCHNET_TPU_WIN_S3")
+        calls.append((stages, win3))
+        b, _, h, w = images.shape[:4]
+        esc = jnp.zeros((3,), jnp.int32)
+        if "3" in stages.split(","):
+            esc = esc.at[2].set(5)  # stage 3 always escapes, any window
+        return jnp.zeros((b, h, w)), jnp.zeros((b, h, w)), esc
+
+    specs = iter([{3: (48, 7)}, {3: (32, 11)}, {3: (32, 13)}])
+    est = _controller_est(
+        fwd, True, spec_fn=lambda b, h, w: dict(next(specs))
+    )
+    h, w = 16, 32
+    with pytest.warns(UserWarning):
+        est(_tiny_batch(h, w), jax.random.PRNGKey(0))
+    # initial derived (48,7) escaped -> retune to (32,11) -> escaped again
+    # -> demoted (retune budget 1 per (shape, stage))
+    assert est._stage_override == {(h, w): "1,2"}
+    assert est._windows == {(h, w): ()}
+    assert est.escape_fallbacks == 2
+    assert calls == [
+        ("1,2,3", "48,7"),
+        ("1,2,3", "32,11"),
+        ("1,2", None),
+    ]
 
 
 @pytest.mark.slow
@@ -157,7 +263,10 @@ def test_escape_guard_gather_fallback():
 
     os.environ["PATCHMATCHNET_TPU_HBAND"] = "2"
     try:
-        est = DepthEstimator(variables, model)
+        # derive_windows=False: the derivation would compute a SOUND band
+        # (ignoring the forced-short env band) and defeat the forcing —
+        # this test exercises the raw demote-and-rerun path
+        est = DepthEstimator(variables, model, derive_windows=False)
         with pytest.warns(UserWarning, match="escaped"):
             d_guarded, c_guarded = est(batch, jax.random.PRNGKey(7))
         assert est.escape_fallbacks == 1
