@@ -163,12 +163,25 @@ def warped_group_similarity(taps, w4, ref, gm, num_depth):
     gm [C, G] -> [B, G, P] (channel-first), with P = num_depth * HWP ordered
     (d, h, w). HWP must be a multiple of 128 for the Pallas path (use
     warp_taps(pad_to=128))."""
-    if (
-        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
-        or (taps.shape[1] // num_depth) % 128 != 0
-    ):
+    if _use_jnp(taps.shape[1], num_depth):
         return _jnp_impl(taps, w4, ref, gm, num_depth)
     return _pallas_impl(taps, w4, ref, gm, num_depth)
+
+
+def _use_jnp(points: int, num_depth: int) -> bool:
+    """Route to the pure-jnp impl off-TPU (interpret-mode Pallas on XLA:CPU
+    is both slow to run and slow to compile — a CPU train step measured
+    ~15 s/step interpret vs sub-second jnp) and for non-tile shapes.
+    PATCHMATCHNET_TPU_INTERPRET=1 forces the Pallas path anyway so the
+    kernel unit tests (tests/test_pallas_kernels.py) exercise the real
+    kernel semantics in interpret mode on CPU."""
+    if os.environ.get("PATCHMATCHNET_TPU_INTERPRET"):
+        return (points // num_depth) % 128 != 0
+    return bool(
+        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        or (points // num_depth) % 128 != 0
+        or jax.default_backend() == "cpu"
+    )
 
 
 def _bwd_kernel(num_depth, taps_ref, w4_ref, ref_ref, gm_ref, dout_ref,
@@ -291,9 +304,8 @@ def _bwd(num_depth, residuals, grad_out):
     # need the extra [C, G] contraction added to BOTH branches here.
     taps, w4, ref, gm = residuals
     if (
-        os.environ.get("PATCHMATCHNET_TPU_NO_PALLAS")
+        _use_jnp(taps.shape[1], num_depth)
         or os.environ.get("PATCHMATCHNET_TPU_JNP_BWD")
-        or (taps.shape[1] // num_depth) % 128 != 0
     ):
         _, vjp = jax.vjp(
             lambda t, w, r: _jnp_impl(t, w, r, gm, num_depth), taps, w4, ref

@@ -110,12 +110,19 @@ def _compute_metrics(
 
 
 def make_train_step(
-    model: PatchmatchNet, tx: optax.GradientTransformation
+    model: PatchmatchNet,
+    tx: optax.GradientTransformation,
+    with_grads: bool = False,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
     `batch` is a dict with images [B,N,H,W,3], intrinsics [B,N,3,3],
     extrinsics [B,N,4,4], depth_min/max [B], depth_gt [B,H,W], mask [B,H,W].
+
+    `with_grads=True` adds the raw parameter-gradient pytree to the metrics
+    under "grads" (diagnostics: precision comparisons, grad-norm debugging).
+    The arrays stay on device unless pulled; production drivers leave this
+    off so the step's outputs stay scalar metrics + image summaries.
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
@@ -131,17 +138,35 @@ def make_train_step(
                 batch["depth_max"],
                 train=True,
                 rngs={"sample": rng},
-                mutable=["batch_stats"],
+                # diagnostics: windowed-sampler escape counters. The bf16
+                # trainer uses the windowed sampler, whose out-of-band
+                # samples contribute ZERO similarity — invisible in the
+                # loss. Surfacing the counter as a metric makes an escaping
+                # train geometry diagnosable from the logs (it should read
+                # 0; if not, the window bound needs deriving for that
+                # geometry — ops/pallas/window_bounds). f32 training uses
+                # the exact gather sampler and always reads 0.
+                mutable=["batch_stats", "diagnostics"],
             )
             loss = patchmatchnet_loss(dp, gts, masks)
-            return loss, (updates["batch_stats"], dp)
+            escapes = sum(
+                jax.tree.leaves(updates.get("diagnostics", {})),
+                jnp.zeros((), jnp.int32),
+            )
+            return loss, (updates["batch_stats"], dp, escapes)
 
-        (loss, (new_stats, dp)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, dp, escapes)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, **_compute_metrics(dp, gts, masks)}
+        metrics = {
+            "loss": loss,
+            "windowed-escapes": escapes.astype(jnp.float32),
+            **_compute_metrics(dp, gts, masks),
+        }
+        if with_grads:
+            metrics["grads"] = grads
         # image summaries (stay on device unless the caller pulls them;
         # reference counterpart: train_dtu.py:224-236)
         m0 = masks[0].astype(jnp.float32)

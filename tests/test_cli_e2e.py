@@ -21,7 +21,9 @@ def scene(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_eval_cli_end_to_end(scene):
+    # slow: full-model eval compile + fusion (~minutes on this 1-core box)
     cli_main(
         [
             "eval",

@@ -38,6 +38,7 @@ def test_fixed_offset_patterns():
         _fixed_offsets("propagation", 5, 2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "propagate,evaluate,iterations",
     [
@@ -47,6 +48,7 @@ def test_fixed_offset_patterns():
     ],
 )
 def test_variant_configs_forward(propagate, evaluate, iterations):
+    # slow: three distinct full-model configs, eager init+apply each
     model = PatchmatchNet(
         patchmatch_iteration=iterations,
         propagate_neighbors=propagate,
@@ -65,7 +67,9 @@ def test_variant_configs_forward(propagate, evaluate, iterations):
     assert len(dp[1]) == iterations[0]
 
 
+@pytest.mark.slow
 def test_bf16_compute_path_smoke():
+    # slow: eager full-model init + two eager applies
     model32 = PatchmatchNet()
     model16 = PatchmatchNet(compute_dtype=jnp.bfloat16)
     inputs = _tiny_inputs(seed=3)

@@ -1,10 +1,20 @@
 """Pallas kernel semantics vs the pure-jnp reference (interpret mode on CPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
+
+# Off-TPU the public entry points route to the pure-jnp impl (dispatch in
+# similarity_kernel._use_jnp — interpret-mode Pallas is too slow for the
+# model-level CPU test tier). This module's whole purpose is the kernel
+# semantics, so force the Pallas (interpret) path for its tests only.
+@pytest.fixture(autouse=True)
+def _force_interpret(monkeypatch):
+    monkeypatch.setenv("PATCHMATCHNET_TPU_INTERPRET", "1")
 
 from patchmatchnet_tpu.ops.pallas.similarity_kernel import (
     _jnp_impl,

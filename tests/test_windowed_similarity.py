@@ -219,9 +219,11 @@ def test_tile_width_selection():
     assert (cfg.tw, cfg.wp, cfg.hp) == (48, 240, 864)
 
 
+@pytest.mark.slow
 def test_model_sampler_equivalence_bf16():
     """Full-model forward: windowed sampler == gather sampler (CPU jnp paths)
-    on a smooth multi-view scene."""
+    on a smooth multi-view scene. Slow: full-model eager init + two eager
+    applies at 96x128."""
     from patchmatchnet_tpu.models import PatchmatchNet
 
     rng = np.random.default_rng(7)
